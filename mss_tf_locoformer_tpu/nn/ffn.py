@@ -1,0 +1,91 @@
+"""Locoformer feed-forward networks: Conv-Deconv local modeling.
+
+``SwiGLUConvDeconv1d`` is the signature "Loco" FFN
+(``models/mss_tflocoformer.py:603-655``): Conv1d(dim -> 2*inner, k, stride)
+with explicit symmetric padding, SwiGLU gate, ConvTranspose1d back to dim,
+crop to the original sequence length.  The pad/crop arithmetic below is the
+reference's exactly.
+
+``ConvDeconv1d`` exists in the reference (``:562-600``) but without input
+padding — its output is shorter than its crop window for every shipped
+kernel/shift combo, so it crashes when used and no config selects it.  We
+implement the *intended* op using the same padding scheme as the SwiGLU
+variant (documented divergence; parameter schema is unchanged).
+
+TPU note: rows ([B*S1] of them) are batched through one big conv — MXU-sized
+matmuls, no per-row loops.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import Conv1d, ConvTranspose1d
+
+__all__ = ["SwiGLUConvDeconv1d", "ConvDeconv1d"]
+
+
+def _pad_len(s2: int, kernel: int, shift: int) -> int:
+    diff_ks = kernel - shift
+    return math.ceil((s2 + 2 * diff_ks - kernel) / shift) * shift + kernel
+
+
+class SwiGLUConvDeconv1d(nn.Module):
+    dim: int
+    dim_inner: int
+    conv1d_kernel: int
+    conv1d_shift: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        """x: [B, S1, S2, C] -> [B, S1, S2, C] (conv along S2, rows B*S1)."""
+        b, s1, s2, h = x.shape
+        diff_ks = self.conv1d_kernel - self.conv1d_shift
+        x = x.reshape(b * s1, s2, h)
+        seq_len = _pad_len(s2, self.conv1d_kernel, self.conv1d_shift)
+        x = jnp.pad(x, ((0, 0), (diff_ks, seq_len - s2 - diff_ks), (0, 0)))
+
+        y = Conv1d(self.dim, self.dim_inner * 2, self.conv1d_kernel,
+                   stride=self.conv1d_shift, dtype=self.dtype, name="conv1d")(x)
+        gate = nn.silu(y[..., self.dim_inner:])
+        y = y[..., :self.dim_inner] * gate
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        y = ConvTranspose1d(self.dim_inner, self.dim, self.conv1d_kernel,
+                            stride=self.conv1d_shift, dtype=self.dtype,
+                            name="deconv1d")(y)
+        y = y[:, diff_ks:diff_ks + s2, :]
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        return y.reshape(b, s1, s2, h)
+
+
+class ConvDeconv1d(nn.Module):
+    dim: int
+    dim_inner: int
+    conv1d_kernel: int
+    conv1d_shift: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, s1, s2, h = x.shape
+        diff_ks = self.conv1d_kernel - self.conv1d_shift
+        x = x.reshape(b * s1, s2, h)
+        seq_len = _pad_len(s2, self.conv1d_kernel, self.conv1d_shift)
+        x = jnp.pad(x, ((0, 0), (diff_ks, seq_len - s2 - diff_ks), (0, 0)))
+
+        y = Conv1d(self.dim, self.dim_inner, self.conv1d_kernel,
+                   stride=self.conv1d_shift, dtype=self.dtype, name="conv1d")(x)
+        y = nn.silu(y)
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        y = ConvTranspose1d(self.dim_inner, self.dim, self.conv1d_kernel,
+                            stride=self.conv1d_shift, dtype=self.dtype,
+                            name="deconv1d")(y)
+        y = y[:, diff_ks:diff_ks + s2, :]
+        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+        return y.reshape(b, s1, s2, h)

@@ -1,0 +1,104 @@
+"""Convolution primitives with exact PyTorch semantics.
+
+The reference leans on cuDNN through ``nn.Conv1d/2d`` and
+``nn.ConvTranspose1d/2d`` (``models/mss_tflocoformer.py:143-146,182,617-619``).
+Here the same math is expressed through ``lax.conv_general_dilated`` — XLA's
+native conv, which tiles onto the MXU — with weights kept in the *torch
+layout* (``[O, I, K...]`` for conv, ``[I, O, K...]`` for transposed conv) so
+checkpoint conversion is a pure tree-rename.
+
+Activations use channels-last (``[B, ...spatial, C]``) everywhere — the
+TPU-friendly layout — while the reference uses NCHW; the dimension-number
+strings below do the bookkeeping, XLA picks the layout.
+
+ConvTranspose is implemented as input-dilated convolution with a flipped
+kernel, which is bit-identical to torch's gradient-of-conv definition:
+``out_len = (L-1)*stride - 2*pad + K``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["conv1d", "conv2d", "conv_transpose1d", "conv_transpose2d"]
+
+IntOr2 = Union[int, Tuple[int, int]]
+
+
+def _pair(v: IntOr2) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def conv1d(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+           stride: int = 1, padding: int = 0) -> jnp.ndarray:
+    """``x [B, L, C_in]``, ``weight [C_out, C_in, K]`` (torch layout) -> ``[B, L', C_out]``."""
+    out = lax.conv_general_dilated(
+        x, weight,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NHC", "OIH", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def conv2d(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+           stride: IntOr2 = 1, padding: IntOr2 = 0) -> jnp.ndarray:
+    """``x [B, H, W, C_in]``, ``weight [C_out, C_in, KH, KW]`` -> ``[B, H', W', C_out]``."""
+    ph, pw = _pair(padding)
+    out = lax.conv_general_dilated(
+        x, weight,
+        window_strides=_pair(stride),
+        padding=[(ph, ph), (pw, pw)],
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def conv_transpose1d(x: jnp.ndarray, weight: jnp.ndarray,
+                     bias: Optional[jnp.ndarray] = None, stride: int = 1,
+                     padding: int = 0) -> jnp.ndarray:
+    """Torch ``ConvTranspose1d``: ``x [B, L, C_in]``, ``weight [C_in, C_out, K]``
+    -> ``[B, (L-1)*stride - 2*padding + K, C_out]``."""
+    k = weight.shape[-1]
+    w = jnp.flip(jnp.swapaxes(weight, 0, 1), axis=-1)  # [C_out, C_in, K], flipped
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(1,),
+        padding=[(k - 1 - padding, k - 1 - padding)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "OIH", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def conv_transpose2d(x: jnp.ndarray, weight: jnp.ndarray,
+                     bias: Optional[jnp.ndarray] = None, stride: IntOr2 = 1,
+                     padding: IntOr2 = 0) -> jnp.ndarray:
+    """Torch ``ConvTranspose2d``: ``x [B, H, W, C_in]``, ``weight [C_in, C_out, KH, KW]``."""
+    kh, kw = weight.shape[-2], weight.shape[-1]
+    ph, pw = _pair(padding)
+    sh, sw = _pair(stride)
+    w = jnp.flip(jnp.swapaxes(weight, 0, 1), axis=(-1, -2))
+    out = lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
+        lhs_dilation=(sh, sw),
+        dimension_numbers=("NHWC", "OIHW", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
