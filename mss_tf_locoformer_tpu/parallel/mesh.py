@@ -1,0 +1,57 @@
+"""Device mesh and sharding rules.
+
+The reference MSS framework is single-GPU (multi-GPU exists only via ESPnet
+DDP/NCCL in the original speech recipes — ``egs2/*/exp/*/config.yaml:18-26``).
+The TPU-native equivalent of that data parallelism is a ``jax.sharding.Mesh``
+over ICI with ``pjit``-partitioned steps: the batch is sharded over the
+``dp`` axis, parameters are replicated, and XLA inserts the gradient
+all-reduce (the NCCL analogue) automatically.
+
+Axes:
+  * ``dp`` — data parallel (batch / OLA-chunk axis).
+  * ``mp`` — reserved model axis (head/ffn sharding) for large configs;
+    size 1 by default at these model scales.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "local_mesh"]
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              dp: int = -1, mp: int = 1) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    mp = max(1, mp)
+    if dp <= 0:
+        dp = n // mp
+    if dp * mp != n:
+        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, axis_names=("dp", "mp"))
+
+
+def local_mesh() -> Mesh:
+    """Mesh over all visible devices (single-chip -> trivial 1x1 mesh)."""
+    return make_mesh()
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over dp."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put a host batch with the leading axis sharded over dp."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,84 @@
+"""Loss correctness: analytic cases + parity vs reference formulas in torch."""
+
+import numpy as np
+import torch
+
+from mss_tf_locoformer_tpu.core.config import LossConfig
+from mss_tf_locoformer_tpu.losses import mss_loss as L
+
+
+def test_si_sdr_perfect_reconstruction(rng):
+    x = rng.standard_normal((3, 1000), dtype=np.float32)
+    vals = np.asarray(L.si_sdr(x, x))
+    assert np.all(vals > 70.0)  # eps-limited, but far above any real signal
+
+
+def test_si_sdr_scale_invariance(rng):
+    x = rng.standard_normal((3, 1000), dtype=np.float32)
+    e = x + 0.1 * rng.standard_normal((3, 1000), dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(L.si_sdr(2.5 * e, x)),
+                               np.asarray(L.si_sdr(e, x)), atol=1e-3)
+
+
+def test_si_sdr_analytic():
+    # target = [1, 0], estimate = [1, 1]: projection = [1, 0], noise = [0, 1]
+    # (zero-mean first: t=[.5,-.5], e=[0,0] -> degenerate; use longer signals)
+    t = np.array([[1.0, -1.0, 1.0, -1.0]], dtype=np.float32)
+    e = t + np.array([[0.1, 0.1, -0.1, -0.1]], dtype=np.float32)
+    # zero-mean leaves both unchanged; noise orthogonal? <e-t, t> = 0 -> proj = t
+    val = float(L.si_sdr(e, t)[0])
+    expected = 10 * np.log10(4.0 / (4 * 0.01))
+    assert abs(val - expected) < 0.05
+
+
+def _torch_si_sdr(est, tgt, eps=1e-8):
+    est = est - est.mean(-1, keepdim=True)
+    tgt = tgt - tgt.mean(-1, keepdim=True)
+    dot = (est * tgt).sum(-1, keepdim=True)
+    en = (tgt ** 2).sum(-1, keepdim=True) + eps
+    s = dot / en * tgt
+    return 10 * torch.log10(((s ** 2).sum(-1) + eps) / (((est - s) ** 2).sum(-1) + eps))
+
+
+def test_si_sdr_matches_torch_formula(rng):
+    e = rng.standard_normal((4, 2000), dtype=np.float32)
+    t = rng.standard_normal((4, 2000), dtype=np.float32)
+    ref = _torch_si_sdr(torch.from_numpy(e), torch.from_numpy(t)).numpy()
+    np.testing.assert_allclose(np.asarray(L.si_sdr(e, t)), ref, atol=1e-3)
+
+
+def test_spectral_loss_matches_torch(rng):
+    e = rng.standard_normal((2, 8000), dtype=np.float32)
+    t = rng.standard_normal((2, 8000), dtype=np.float32)
+    w = torch.hann_window(2048)
+    es = torch.stft(torch.from_numpy(e), 2048, 1024, window=w, return_complex=True)
+    ts = torch.stft(torch.from_numpy(t), 2048, 1024, window=w, return_complex=True)
+    ref = torch.nn.functional.l1_loss(torch.log1p(es.abs()), torch.log1p(ts.abs())).item()
+    got = float(L.spectral_loss(e, t))
+    assert abs(got - ref) < 1e-4
+
+
+def test_mss_loss_combined_structure(rng):
+    preds = {k: rng.standard_normal((2, 4000), dtype=np.float32)
+             for k in ("vocals", "drums", "bass", "other")}
+    tgts = {k: rng.standard_normal((2, 4000), dtype=np.float32)
+            for k in ("vocals", "drums", "bass", "other")}
+    out = L.mss_loss(preds, tgts, LossConfig(loss_type="combined"))
+    for k in preds:
+        assert f"{k}_si_sdr" in out and f"{k}_l1" in out and f"{k}_spectral" in out
+    manual = sum(1.0 * out[f"{k}_si_sdr"] + 0.1 * out[f"{k}_l1"]
+                 + 0.1 * out[f"{k}_spectral"] for k in preds)
+    np.testing.assert_allclose(float(out["total_loss"]), float(manual), rtol=1e-6)
+
+
+def test_mss_loss_skips_missing_targets(rng):
+    preds = {k: rng.standard_normal((1, 2000), dtype=np.float32)
+             for k in ("vocals", "drums")}
+    tgts = {"vocals": preds["vocals"]}
+    out = L.mss_loss(preds, tgts, LossConfig(loss_type="si_sdr"))
+    assert "drums_si_sdr" not in out and "vocals_si_sdr" in out
+
+
+def test_multi_resolution_stft(rng):
+    e = rng.standard_normal((1, 8000), dtype=np.float32)
+    assert float(L.multi_resolution_stft_loss(e, e)) < 1e-6
