@@ -45,7 +45,7 @@ class MultiHeadSelfAttention(nn.Module):
             q = apply_rope(q).astype(self.dtype)  # fp32 island inside
             k = apply_rope(k).astype(self.dtype)
 
-        backend = "flash" if self.flash_attention else "xla"
+        backend = "flash" if self.flash_attention else "auto"
         out = dot_product_attention(q, k, v, backend=backend)  # [B, H, L, D]
 
         out = jnp.swapaxes(out, 1, 2).reshape(b, l, self.attention_dim)

@@ -1,22 +1,31 @@
-"""Scaled dot-product attention.
+"""Scaled dot-product attention with memory-bounded backends.
 
 The reference dispatches between flash / mem-efficient / math CUDA SDPA
-kernels (``models/mss_tflocoformer.py:491-502,524-531``).  On TPU the two
-backends are:
+kernels (``models/mss_tflocoformer.py:491-502,524-531``); its own docs record
+an 80 GiB SDPA allocation as the motivating failure (MEMORY_ANALYSIS.md).
+The TF-Locoformer attention shape is unusual: an enormous row batch
+(B*frames or B*freqs, often >1000 rows) x moderate sequence length
+(F <= 2049 bins or chunked frame counts) x small head_dim (24-32).  A naive
+attention materializes ``rows * heads * L * L`` fp32 scores — tens of GB.
 
-  * ``xla`` — a plain einsum attention; XLA fuses scale+softmax and maps the
-    two matmuls onto the MXU.  Softmax statistics are always fp32.
-  * ``flash`` — a Pallas fused kernel (``ops/pallas/flash_attention.py``),
-    selected by the model's ``flash_attention`` flag; falls back to ``xla``
-    when the shape is unsupported or when not running on TPU.
+Backends:
+  * ``xla``     — plain einsum attention (scores in HBM); fine for small
+                  row-batches, fuses well.
+  * ``chunked`` — ``lax.map`` over row groups: bounds live score memory to
+                  ``~max_score_bytes`` while keeping every matmul MXU-sized.
+                  Differentiable (scan-based), used for training and as the
+                  universal fallback.
+  * ``flash``   — Pallas fused kernel (``ops/pallas/flash_attention.py``):
+                  online-softmax, scores never leave VMEM.
+  * ``auto``    — flash on TPU when available, else chunked/xla by a score-
+                  memory estimate.
 
-Sequence lengths here are moderate (F = n_fft/2+1 ≤ 2049 bins, or T = chunked
-frame counts), with very large row-batches (B·T or B·F), so the win from
-flash is avoiding the HBM round-trip of the [L, L] score matrix.
+Softmax statistics are fp32 in every backend.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -24,10 +33,12 @@ import jax.numpy as jnp
 
 __all__ = ["dot_product_attention"]
 
+_DEFAULT_MAX_SCORE_BYTES = 1 << 30  # 1 GiB of live fp32 scores
+
 
 def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     head_dim = q.shape[-1]
-    scale = 1.0 / (head_dim ** 0.5)
+    scale = 1.0 / math.sqrt(head_dim)
     logits = jnp.einsum("...qd,...kd->...qk", q, k,
                         preferred_element_type=jnp.float32) * scale
     probs = jax.nn.softmax(logits, axis=-1)
@@ -35,18 +46,46 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarra
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def _chunked_attention(q, k, v, max_score_bytes: int) -> jnp.ndarray:
+    """Row-group-chunked attention: fold all leading axes into one row axis
+    and ``lax.map`` over groups sized to the score-memory budget."""
+    *lead, L, D = q.shape
+    rows = math.prod(lead) if lead else 1
+    qf = q.reshape(rows, L, D)
+    kf = k.reshape(rows, L, D)
+    vf = v.reshape(rows, L, D)
+    per_row = 4 * L * L  # fp32 scores
+    group = max(1, min(rows, max_score_bytes // max(per_row, 1)))
+    # pad rows to a multiple of the group size (masked rows are just wasted work)
+    padded = -(-rows // group) * group
+    if padded != rows:
+        pad = [(0, padded - rows), (0, 0), (0, 0)]
+        qf, kf, vf = (jnp.pad(a, pad) for a in (qf, kf, vf))
+    out = jax.lax.map(lambda t: _xla_attention(*t), (qf, kf, vf), batch_size=group)
+    return out[:rows].reshape(*lead, L, D)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    backend: str = "xla",
+    backend: str = "auto",
+    max_score_bytes: int = _DEFAULT_MAX_SCORE_BYTES,
 ) -> jnp.ndarray:
-    """Self-attention over ``[..., L, D]`` tensors (no mask — the reference
-    never masks; rows are independent TF strips)."""
+    """Self-attention over ``[..., L, D]`` (no mask — the reference never
+    masks; rows are independent TF strips)."""
     if backend == "flash":
         try:
             from .pallas.flash_attention import flash_attention
             return flash_attention(q, k, v)
-        except Exception:  # unsupported shape/platform -> XLA fallback
-            return _xla_attention(q, k, v)
+        except Exception:
+            backend = "auto"
+    if backend == "xla":
+        return _xla_attention(q, k, v)
+
+    *lead, L, _ = q.shape
+    rows = math.prod(lead) if lead else 1
+    score_bytes = 4 * rows * L * L
+    if score_bytes > max_score_bytes:
+        return _chunked_attention(q, k, v, max_score_bytes)
     return _xla_attention(q, k, v)

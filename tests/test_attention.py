@@ -1,0 +1,87 @@
+"""Attention backends: chunked == xla == torch SDPA; flash kernel (interpret
+mode on CPU) == xla."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from mss_tf_locoformer_tpu.ops.attention import (_chunked_attention,
+                                                 _xla_attention,
+                                                 dot_product_attention)
+
+
+def _rand_qkv(rng, b=3, h=2, l=70, d=24):
+    return tuple(rng.standard_normal((b, h, l, d), dtype=np.float32) * 0.5
+                 for _ in range(3))
+
+
+def test_xla_matches_torch_sdpa(rng):
+    q, k, v = _rand_qkv(rng)
+    ref = torch.nn.functional.scaled_dot_product_attention(
+        torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)).numpy()
+    got = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_chunked_matches_xla(rng):
+    q, k, v = _rand_qkv(rng, b=5, l=33)
+    full = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    # force tiny budget -> many chunks
+    chunked = np.asarray(_chunked_attention(jnp.asarray(q), jnp.asarray(k),
+                                            jnp.asarray(v), max_score_bytes=4 * 33 * 33 * 2))
+    np.testing.assert_allclose(chunked, full, atol=2e-5)
+
+
+def test_auto_selects_chunked_for_large(rng):
+    q, k, v = _rand_qkv(rng, b=2, l=64)
+    out = dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                                backend="auto", max_score_bytes=1024)
+    full = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(np.asarray(out), full, atol=2e-5)
+
+
+def test_chunked_gradient_matches_xla(rng):
+    q, k, v = _rand_qkv(rng, b=2, h=1, l=16, d=8)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+
+    def loss_full(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v) ** 2)
+
+    def loss_chunked(q, k, v):
+        return jnp.sum(_chunked_attention(q, k, v, max_score_bytes=4 * 16 * 16) ** 2)
+
+    g_full = jax.grad(loss_full, argnums=(0, 1, 2))(qj, kj, vj)
+    g_chunk = jax.grad(loss_chunked, argnums=(0, 1, 2))(qj, kj, vj)
+    for a, b in zip(g_full, g_chunk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.parametrize("l,d", [(64, 24), (130, 32), (257, 16)])
+def test_flash_interpret_matches_xla(rng, l, d):
+    """Pallas kernel in interpreter mode (CPU) vs the XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from mss_tf_locoformer_tpu.ops.pallas import flash_attention as FA
+
+    q, k, v = _rand_qkv(rng, b=2, h=2, l=l, d=d)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(FA.flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                            jnp.asarray(v)))
+    full = np.asarray(_xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    np.testing.assert_allclose(got, full, atol=2e-5)
+
+
+def test_flash_backward_via_chunked(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    from mss_tf_locoformer_tpu.ops.pallas import flash_attention as FA
+
+    q, k, v = _rand_qkv(rng, b=1, h=1, l=32, d=16)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda a, b, c: jnp.sum(FA.flash_attention(a, b, c) ** 2),
+                     argnums=(0, 1, 2))(qj, kj, vj)
+    g_ref = jax.grad(lambda a, b, c: jnp.sum(_xla_attention(a, b, c) ** 2),
+                     argnums=(0, 1, 2))(qj, kj, vj)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -1,0 +1,91 @@
+"""Sharded-path tests on a virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mss_tf_locoformer_tpu.core.config import (Config, LossConfig, ModelConfig,
+                                               OptimizerConfig, TrainingConfig)
+from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+from mss_tf_locoformer_tpu.parallel import mesh as M
+from mss_tf_locoformer_tpu.train.state import init_state, make_optimizer
+from mss_tf_locoformer_tpu.train.step import make_train_step
+
+
+def test_mesh_construction():
+    mesh = M.make_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("dp", "mp")
+    mesh2 = M.make_mesh(dp=4, mp=2)
+    assert mesh2.shape["dp"] == 4 and mesh2.shape["mp"] == 2
+
+
+def test_sharded_train_step(rng):
+    cfg = Config(
+        model=ModelConfig(n_fft=256, hop_length=128, n_layers=1, emb_dim=16,
+                          num_groups=4, n_heads=2, attention_dim=16,
+                          ffn_type="swiglu_conv1d", ffn_hidden_dim=32),
+        loss=LossConfig(loss_type="si_sdr"),
+        training=TrainingConfig(optimizer=OptimizerConfig(lr=1e-3)),
+    )
+    model = TFLocoformerMSS(cfg.model)
+    mesh = M.make_mesh()
+
+    b, t = 8, 2000
+    stems = {k: 0.3 * rng.standard_normal((b, t)).astype(np.float32)
+             for k in ("vocals", "drums", "bass", "other")}
+    mixture = sum(stems.values())
+
+    params = model.init(jax.random.PRNGKey(0), mixture[:1])
+    tx = make_optimizer(cfg.training)
+    state = init_state(params, tx)
+
+    # replicate state, shard batch over dp
+    rep = M.replicated(mesh)
+    state = jax.device_put(state, rep)
+    batch = M.shard_batch(mesh, {"mixture": mixture, **stems})
+    mixture_s = batch.pop("mixture")
+
+    step = make_train_step(model, cfg, tx)
+    state2, ld = step(state, mixture_s, batch, 1e-3, jax.random.PRNGKey(1))
+    assert np.isfinite(float(ld["total_loss"]))
+    assert int(state2.step) == 1
+    # params stay replicated after the update
+    leaf = jax.tree.leaves(state2.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_matches_single_device(rng):
+    cfg = Config(
+        model=ModelConfig(n_fft=256, hop_length=128, n_layers=1, emb_dim=16,
+                          num_groups=4, n_heads=2, attention_dim=16,
+                          ffn_type="swiglu_conv1d", ffn_hidden_dim=32),
+        loss=LossConfig(loss_type="si_sdr"),
+        training=TrainingConfig(optimizer=OptimizerConfig(lr=1e-3)),
+    )
+    model = TFLocoformerMSS(cfg.model)
+    b, t = 8, 2000
+    stems = {k: 0.3 * rng.standard_normal((b, t)).astype(np.float32)
+             for k in ("vocals", "drums", "bass", "other")}
+    mixture = sum(stems.values())
+    params = model.init(jax.random.PRNGKey(0), mixture[:1])
+    tx = make_optimizer(cfg.training)
+    step = make_train_step(model, cfg, tx)
+    key = jax.random.PRNGKey(1)
+
+    s_single = init_state(jax.tree.map(jnp.copy, params), tx)
+    s_single, ld_single = step(s_single, mixture, stems, 1e-3, key)
+
+    mesh = M.make_mesh()
+    s_shard = jax.device_put(init_state(jax.tree.map(jnp.copy, params), tx),
+                             M.replicated(mesh))
+    batch = M.shard_batch(mesh, {"mixture": mixture, **stems})
+    mixture_s = batch.pop("mixture")
+    s_shard, ld_shard = step(s_shard, mixture_s, batch, 1e-3, key)
+
+    np.testing.assert_allclose(float(ld_single["total_loss"]),
+                               float(ld_shard["total_loss"]), rtol=1e-5)
+    # tolerance: fp32 reassociation between the 8-shard psum and the single
+    # reduction, amplified to ~lr scale by AdamW's first-step normalizer
+    for a, b_ in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
