@@ -1,0 +1,112 @@
+"""Chunked overlap-add separation.
+
+The reference runs ONE forward over the full track
+(``inference/separate.py:147-148``) — no chunking anywhere in the repo —
+which is exactly what OOMs on long tracks (MEMORY_ANALYSIS.md).  The
+TPU-native replacement: fixed-size chunks (static shapes -> one XLA
+compilation), batched to fill the chip and shardable across a ``dp`` mesh
+(chunk-parallelism — the TPU answer to long sequences here), recombined by
+windowed overlap-add.
+
+Cross-fade uses a triangular (Bartlett) weighting over the overlap region;
+interior chunk weights sum to exactly 1, and the envelope is normalized so
+edges are exact too.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SeparationEngine", "triangular_window"]
+
+
+def triangular_window(length: int, overlap: int) -> np.ndarray:
+    """Flat-top window with linear ramps of ``overlap`` samples on each side."""
+    w = np.ones(length, dtype=np.float32)
+    if overlap > 0:
+        ramp = (np.arange(overlap, dtype=np.float32) + 1.0) / (overlap + 1.0)
+        w[:overlap] = ramp
+        w[-overlap:] = ramp[::-1]
+    return w
+
+
+class SeparationEngine:
+    """Batched chunked-OLA separation around a spec-mapping model.
+
+    Args:
+        apply_fn: ``(mixture [B, W]) -> {stem: [B, W]}`` jittable forward.
+        chunk_samples: chunk length W (static).
+        overlap: overlap samples between consecutive chunks.
+        batch_size: chunks per forward (static).
+        sharding: optional ``NamedSharding`` to shard the chunk batch over a
+            device mesh (chunk-parallel inference).
+    """
+
+    def __init__(self, apply_fn: Callable, chunk_samples: int,
+                 overlap: Optional[int] = None, batch_size: int = 4,
+                 sharding=None):
+        self.chunk = int(chunk_samples)
+        self.overlap = int(overlap) if overlap is not None else self.chunk // 4
+        if not 0 <= self.overlap < self.chunk:
+            raise ValueError(f"overlap {self.overlap} must be in [0, {self.chunk})")
+        self.hop = self.chunk - self.overlap
+        self.batch_size = int(batch_size)
+        self.sharding = sharding
+        self._apply = jax.jit(apply_fn)
+        self._window = triangular_window(self.chunk, self.overlap)
+
+    def __call__(self, audio: np.ndarray) -> Dict[str, np.ndarray]:
+        """audio ``[T]`` (mono) -> dict of stems ``[T]``."""
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim != 1:
+            raise ValueError(f"expected mono [T], got {audio.shape}")
+        t = audio.shape[0]
+
+        if t <= self.chunk:
+            padded = np.pad(audio, (0, self.chunk - t))
+            out = self._forward(padded[None])
+            return {k: np.asarray(v)[0, :t] for k, v in out.items()}
+
+        n_chunks = 1 + math.ceil((t - self.chunk) / self.hop)
+        total = (n_chunks - 1) * self.hop + self.chunk
+        padded = np.pad(audio, (0, total - t))
+        starts = np.arange(n_chunks) * self.hop
+        chunks = np.stack([padded[s:s + self.chunk] for s in starts])  # [N, W]
+
+        # batch to the static batch size (pad with zero chunks)
+        n_batches = -(-n_chunks // self.batch_size)
+        pad_chunks = n_batches * self.batch_size - n_chunks
+        if pad_chunks:
+            chunks = np.concatenate(
+                [chunks, np.zeros((pad_chunks, self.chunk), np.float32)])
+
+        stem_chunks: Dict[str, list] = {}
+        for b in range(n_batches):
+            block = chunks[b * self.batch_size:(b + 1) * self.batch_size]
+            if self.sharding is not None:
+                block = jax.device_put(block, self.sharding)
+            out = self._forward(block)
+            for k, v in out.items():
+                stem_chunks.setdefault(k, []).append(np.asarray(v))
+
+        window = self._window
+        envelope = np.zeros(total, dtype=np.float64)
+        for s in starts:
+            envelope[s:s + self.chunk] += window
+        results: Dict[str, np.ndarray] = {}
+        for k, blocks in stem_chunks.items():
+            flat = np.concatenate(blocks)[:n_chunks]  # [N, W]
+            acc = np.zeros(total, dtype=np.float64)
+            for i, s in enumerate(starts):
+                acc[s:s + self.chunk] += flat[i] * window
+            results[k] = (acc / np.maximum(envelope, 1e-8)).astype(np.float32)[:t]
+        return results
+
+    def _forward(self, block: np.ndarray):
+        return self._apply(block)
