@@ -1,0 +1,86 @@
+"""Evaluation CLI, mirroring ``evaluation/evaluate.py`` of the reference:
+full-track test-subset evaluation with per-stem SI-SDR/SDR/SAR/SIR, mean
+aggregation, optional stem saving, ``results.json``.
+
+Divergence fixed consciously: targets are mono-ized like the mixture (the
+reference compares mono estimates against stereo targets — SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate TF-Locoformer MSS (TPU)")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="./evaluation_results")
+    p.add_argument("--save_audio", action="store_true")
+    p.add_argument("--device", type=str, default=None, help="Ignored on TPU")
+    p.add_argument("--chunk_seconds", type=float, default=8.0)
+    p.add_argument("--overlap_seconds", type=float, default=1.0)
+    p.add_argument("--batch_size", type=int, default=4)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import numpy as np
+
+    from ..core.config import load_config
+    from ..data.musdb import MUSDBDataset
+    from ..eval.metrics import evaluate_source_separation, print_metrics
+    from ..infer.separate import load_model, make_engine
+    from ..utils.audio import save_audio
+    from ..utils.common import save_json
+
+    config = load_config(args.config)
+    model, params, mcfg = load_model(args.checkpoint, args.config)
+    dcfg = config.dataset
+
+    ds = MUSDBDataset(dcfg.root_dir, subset="test", sample_rate=dcfg.sample_rate,
+                      segment_length=None, sources=list(dcfg.sources),
+                      return_metadata=True, verbose=True)
+    engine = make_engine(model, params, chunk_seconds=args.chunk_seconds,
+                         overlap_seconds=args.overlap_seconds,
+                         sample_rate=dcfg.sample_rate,
+                         batch_size=args.batch_size)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    per_track = {}
+    for i in range(len(ds)):
+        sample = ds[i]
+        name = sample.get("track_name", f"track{i}")
+        mixture = np.asarray(sample["mixture"]).mean(axis=0)  # stereo -> mono
+        targets = {k: np.asarray(sample[k]).mean(axis=0)
+                   for k in dcfg.sources if k in sample}
+        stems = engine(mixture)
+        res = evaluate_source_separation(stems, targets,
+                                         metrics=config.evaluation.metrics)
+        per_track[name] = res
+        print(f"[{i + 1}/{len(ds)}] {name}: "
+              f"SI-SDR {res['average']['si_sdr']:.2f} dB")
+        if args.save_audio:
+            tdir = os.path.join(args.output_dir, name)
+            os.makedirs(tdir, exist_ok=True)
+            for stem, est in stems.items():
+                save_audio(os.path.join(tdir, f"{stem}.wav"),
+                           np.stack([est, est]), dcfg.sample_rate)
+
+    stems_seen = sorted({s for r in per_track.values() for s in r})
+    summary = {
+        s: {m: float(np.mean([r[s][m] for r in per_track.values() if s in r]))
+            for m in config.evaluation.metrics}
+        for s in stems_seen
+    }
+    print("\n=== mean over tracks ===")
+    print_metrics(summary)
+    save_json({"per_track": per_track, "summary": summary},
+              os.path.join(args.output_dir, "results.json"))
+    print(f"Wrote {os.path.join(args.output_dir, 'results.json')}")
+
+
+if __name__ == "__main__":
+    main()

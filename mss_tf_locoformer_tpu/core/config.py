@@ -317,6 +317,14 @@ def config_from_dict(raw: Mapping[str, Any]) -> Config:
                 cls = BSModelConfig
             if key == "training" and isinstance(val, Mapping):
                 val = dict(val)
+                # reference xlarge config puts warmup at the training level
+                # (``configs/musdb18_rtx5090_xlarge.yaml``); fold into scheduler
+                sched = dict(val.get("scheduler") or {})
+                for wk in ("warmup_steps", "warmup_start_lr"):
+                    if wk in val:
+                        sched.setdefault(wk, val.pop(wk))
+                if sched:
+                    val["scheduler"] = sched
                 if "optimizer" in val:
                     val["optimizer"] = _build(OptimizerConfig, val["optimizer"], "training.optimizer")
                 if "scheduler" in val:

@@ -1,0 +1,237 @@
+"""End-to-end trainer (the reference's ``training/train.py`` re-designed).
+
+Differences from the reference, all deliberate (SURVEY.md §2.4):
+  * config keys the reference silently ignored are implemented (betas,
+    gradient_clip value, warmup, early stopping, keep_last/save_best);
+  * the whole optimizer step is one jitted XLA program; the only per-step
+    host sync is the scalar loss for logging (reference syncs every step);
+  * ``torch.cuda.empty_cache()`` hygiene has no TPU analogue and is gone;
+  * multi-device: batch sharded over the ``dp`` mesh axis, params replicated
+    (XLA inserts the grad all-reduce — the DDP/NCCL analogue).
+
+Behavior kept: stereo->mono by channel mean on mixture and targets
+(``training/train.py:102-107``), validation on full tracks of the test
+subset with batch 1 (``:298-306,321-328``), ReduceLROnPlateau on val loss,
+checkpoint every ``save_interval`` + best-model tracking, TensorBoard
+scalars for train/val loss and LR.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..core.precision import precision_from_amp
+from ..data.loader import DataLoader, prefetch_to_device
+from ..data.musdb import MUSDBDataset
+from ..models.mss_tflocoformer import TFLocoformerMSS
+from ..parallel import mesh as M
+from ..utils.common import AverageMeter, count_parameters, format_time, set_seed
+from .checkpoint import CheckpointManager
+from .schedule import EarlyStopping
+from .state import LRController, TrainState, init_state, make_optimizer
+from .step import make_eval_step, make_train_step
+
+__all__ = ["Trainer"]
+
+
+def _mono(x: np.ndarray) -> np.ndarray:
+    """[B, C, T] -> [B, T] channel mean (reference ``training/train.py:102-107``)."""
+    if x.ndim == 3:
+        return x.mean(axis=1)
+    return x
+
+
+class Trainer:
+    def __init__(self, config: Config, output_dir: Optional[str] = None,
+                 resume: Optional[str] = None, verbose: bool = True):
+        self.config = config
+        self.verbose = verbose
+        set_seed(config.seed)
+
+        self.output_dir = output_dir or config.paths.output_dir
+        self.ckpt_dir = os.path.join(self.output_dir, "checkpoints")
+        self.log_dir = os.path.join(self.output_dir, "logs")
+        os.makedirs(self.output_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+        self.precision = precision_from_amp(config.training.use_amp,
+                                            config.training.amp_dtype)
+        self.model = TFLocoformerMSS(config.model, precision=self.precision)
+
+        tcfg = config.training
+        self.tx = make_optimizer(tcfg)
+        self.lr_ctl = LRController(tcfg)
+        self.early_stop = EarlyStopping(tcfg.early_stopping)
+        self.train_step = make_train_step(self.model, config, self.tx)
+        self.eval_step = make_eval_step(self.model, config)
+
+        dp, mp = config.mesh.axis_sizes(len(jax.devices()))
+        # the global batch must divide over dp; clamp to the largest divisor
+        while dp > 1 and tcfg.batch_size % dp != 0:
+            dp -= 1
+        self.mesh = M.make_mesh(jax.devices()[:dp * mp], dp=dp, mp=mp)
+        self.batch_sharding = M.batch_sharding(self.mesh)
+
+        self.ckpt = CheckpointManager(self.ckpt_dir, keep_last=tcfg.keep_last,
+                                      save_best=tcfg.save_best)
+        self.writer = self._make_writer()
+
+        self.state: Optional[TrainState] = None
+        self.start_epoch = 0
+        self.best_val_loss = float("inf")
+        self._resume_from = resume
+
+        self._log(f"Devices: {jax.devices()}  mesh dp={dp} mp={mp}  "
+                  f"precision={self.precision.compute_dtype}")
+
+    # ------------------------------------------------------------- plumbing
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(msg, flush=True)
+
+    def _make_writer(self):
+        try:
+            from tensorboardX import SummaryWriter
+            return SummaryWriter(self.log_dir)
+        except ImportError:
+            return None
+
+    def _scalar(self, tag: str, value: float, step: int):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, step)
+
+    def _datasets(self):
+        dcfg = self.config.dataset
+        train_ds = MUSDBDataset(
+            dcfg.root_dir, subset="train", sample_rate=dcfg.sample_rate,
+            segment_length=dcfg.segment_length, sources=list(dcfg.sources),
+            augmentation=dcfg.augmentation, random_chunks=dcfg.random_chunks,
+            min_loudness=dcfg.min_loudness,
+            max_chunk_attempts=dcfg.max_chunk_attempts,
+            rebuild_mixture=dcfg.rebuild_mixture,
+            metadata_cache=dcfg.cache_dir or True,
+            verbose=self.verbose, seed=self.config.seed)
+        val_ds = MUSDBDataset(
+            dcfg.root_dir, subset="test", sample_rate=dcfg.sample_rate,
+            segment_length=None, sources=list(dcfg.sources),
+            augmentation=False, metadata_cache=dcfg.cache_dir or True,
+            verbose=self.verbose)
+        return train_ds, val_ds
+
+    def init_model(self, example: np.ndarray) -> TrainState:
+        params = self.model.init(jax.random.PRNGKey(self.config.seed), example)
+        n = count_parameters(params)
+        self._log(f"Model parameters: {n / 1e6:.2f} M")
+        state = init_state(params, self.tx)
+        return jax.device_put(state, M.replicated(self.mesh))
+
+    # -------------------------------------------------------------- epochs
+
+    def train_epoch(self, state, loader, epoch: int, rng):
+        meter = AverageMeter()
+        t0 = time.time()
+        tcfg = self.config.training
+        sharding = self.batch_sharding
+        for i, batch in enumerate(prefetch_to_device(
+                iter(loader), size=tcfg.prefetch_factor)):
+            mixture = _mono(np.asarray(batch["mixture"]))
+            targets = {k: _mono(np.asarray(batch[k]))
+                       for k in self.config.dataset.sources if k in batch}
+            mixture = jax.device_put(mixture, sharding)
+            targets = jax.tree.map(lambda x: jax.device_put(x, sharding), targets)
+            lr = self.lr_ctl.lr_at(int(state.step))
+            rng, sub = jax.random.split(rng)
+            state, ld = self.train_step(state, mixture, targets, lr, sub)
+            loss = float(ld["total_loss"])
+            meter.update(loss, mixture.shape[0])
+            if i % tcfg.log_interval == 0:
+                step = int(state.step)
+                self._scalar("train/loss_step", loss, step)
+                self._scalar("train/lr", lr, step)
+                self._scalar("train/grad_norm", float(ld["grad_norm"]), step)
+                self._log(f"  epoch {epoch} step {step} loss {loss:.4f} "
+                          f"lr {lr:.2e} ({format_time(time.time() - t0)})")
+        return state, meter.avg, rng
+
+    def validate(self, state, loader) -> float:
+        meter = AverageMeter()
+        for batch in iter(loader):
+            mixture = _mono(np.asarray(batch["mixture"]))
+            targets = {k: _mono(np.asarray(batch[k]))
+                       for k in self.config.dataset.sources if k in batch}
+            ld = self.eval_step(state.params, mixture, targets)
+            meter.update(float(ld["total_loss"]), mixture.shape[0])
+        return meter.avg
+
+    # ---------------------------------------------------------------- main
+
+    def fit(self, train_loader=None, val_loader=None) -> TrainState:
+        tcfg = self.config.training
+        if train_loader is None:
+            train_ds, val_ds = self._datasets()
+            train_loader = DataLoader(train_ds, batch_size=tcfg.batch_size,
+                                      shuffle=True, num_workers=tcfg.num_workers,
+                                      prefetch_factor=tcfg.prefetch_factor,
+                                      seed=self.config.seed)
+            val_loader = DataLoader(val_ds, batch_size=1, shuffle=False,
+                                    num_workers=min(2, tcfg.num_workers))
+
+        first = next(iter(train_loader))
+        example = _mono(np.asarray(first["mixture"]))[:1]
+        state = self.init_model(example)
+
+        if self._resume_from:
+            state, meta, epoch = self.ckpt.restore(state)
+            self.start_epoch = epoch + 1
+            self.best_val_loss = meta.get("best_val_loss", float("inf"))
+            self.lr_ctl.load_state_dict(meta["lr_controller"])
+            if "early_stop" in meta:
+                self.early_stop.load_state_dict(meta["early_stop"])
+            self._log(f"Resumed from epoch {epoch}")
+
+        rng = jax.random.PRNGKey(self.config.seed + 1)
+        for epoch in range(self.start_epoch, tcfg.num_epochs):
+            t0 = time.time()
+            state, train_loss, rng = self.train_epoch(state, train_loader,
+                                                      epoch, rng)
+            self._scalar("train/loss_epoch", train_loss, epoch)
+            msg = (f"epoch {epoch}: train {train_loss:.4f} "
+                   f"({format_time(time.time() - t0)})")
+
+            val_loss = None
+            if (epoch + 1) % tcfg.val_interval == 0:
+                val_loss = self.validate(state, val_loader)
+                self._scalar("val/loss", val_loss, epoch)
+                self.lr_ctl.on_validation(val_loss)
+                msg += f" val {val_loss:.4f}"
+            self._log(msg)
+
+            is_best = val_loss is not None and val_loss < self.best_val_loss
+            if is_best:
+                self.best_val_loss = val_loss
+            if (epoch + 1) % tcfg.save_interval == 0 or is_best:
+                self.ckpt.save(epoch, state, {
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "val_loss": val_loss,
+                    "best_val_loss": self.best_val_loss,
+                    "lr_controller": self.lr_ctl.state_dict(),
+                    "early_stop": self.early_stop.state_dict(),
+                }, is_best=is_best)
+
+            if val_loss is not None and self.early_stop.step(val_loss):
+                self._log(f"Early stopping at epoch {epoch}")
+                break
+
+        self.state = state
+        if self.writer is not None:
+            self.writer.close()
+        return state
