@@ -20,17 +20,23 @@ def parse_args(argv=None):
     # chunked-OLA controls (TPU replaces the reference's full-track forward)
     p.add_argument("--chunk_seconds", type=float, default=8.0)
     p.add_argument("--overlap_seconds", type=float, default=1.0)
-    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=("bf16", "fp32"),
+                   help="Compute precision (fp32 = reference bit-parity path; "
+                        "bf16 = TPU-native default, fp32 islands preserved)")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from ..core.precision import BF16, FP32
     from ..infer.separate import load_model, separate_audio
     from ..utils.common import set_seed
 
     set_seed(args.seed)
-    model, params, _ = load_model(args.checkpoint, args.config)
+    precision = FP32 if args.precision == "fp32" else BF16
+    model, params, _ = load_model(args.checkpoint, args.config, precision=precision)
     stems = separate_audio(
         args.input, args.output_dir, model, params,
         sample_rate=args.sample_rate, chunk_seconds=args.chunk_seconds,

@@ -32,8 +32,15 @@ __all__ = ["load_model", "separate_audio", "make_engine"]
 
 
 def load_model(checkpoint_path: str, config_path: Optional[str] = None,
-               precision: Precision = FP32) -> Tuple[TFLocoformerMSS, dict, ModelConfig]:
-    """Returns ``(model, params, model_config)``."""
+               precision: Precision = BF16) -> Tuple[TFLocoformerMSS, dict, ModelConfig]:
+    """Returns ``(model, params, model_config)``.
+
+    Default inference precision is bf16 (fp32 islands preserved at the
+    reference's autocast-disabled sites); pass ``precision=FP32`` for the
+    bit-parity path.  The reference infers full-track fp32 — on a 16 GB v5e
+    that layout OOMs for the base config at 8 s x batch 4, so bf16 is the
+    TPU-native default.
+    """
     if config_path:
         cfg = load_config(config_path).model
     else:
@@ -62,7 +69,7 @@ def load_model(checkpoint_path: str, config_path: Optional[str] = None,
 
 def make_engine(model: TFLocoformerMSS, params, chunk_seconds: float = 8.0,
                 overlap_seconds: float = 1.0, sample_rate: int = 44100,
-                batch_size: int = 4, sharding=None) -> SeparationEngine:
+                batch_size: int = 2, sharding=None) -> SeparationEngine:
     def apply_fn(mixture):
         return model.apply(params, mixture)
     return SeparationEngine(
@@ -80,7 +87,7 @@ def separate_audio(
     sample_rate: int = 44100,
     chunk_seconds: float = 8.0,
     overlap_seconds: float = 1.0,
-    batch_size: int = 4,
+    batch_size: int = 2,
     save_stems: bool = True,
     sharding=None,
 ) -> Dict[str, np.ndarray]:

@@ -41,28 +41,40 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_block_q(lp: int) -> int:
+    """Largest divisor of ``lp`` that is a multiple of 128 and <= 512 —
+    minimizes padded-score inflation (VPU softmax cost) while keeping few
+    grid programs."""
+    best = 128
+    for blk in range(128, 513, 128):
+        if lp % blk == 0:
+            best = blk
+    return best
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_actual: int):
     q = q_ref[0]  # [BLK_Q, 128]
-    k = k_ref[0]  # [Lp, 128]
-    v = v_ref[0]  # [Lp, 128]
+    k = k_ref[0]  # [KP, 128]
+    v = v_ref[0]  # [KP, 128]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # [BLK_Q, Lp]
+    ) * scale  # [BLK_Q, KP]
 
-    lp = s.shape[-1]
-    if lp != l_actual:  # mask padded key columns
+    kp = s.shape[-1]
+    if kp != l_actual:  # mask padded key columns
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < l_actual, s, -1e30)
 
+    # unnormalized softmax; the row divide happens on the tiny [BLK_Q, 128]
+    # output instead of the full [BLK_Q, KP] score block (VPU savings)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
 
-    o_ref[0] = jnp.dot(p.astype(v.dtype), v,
-                       preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -78,8 +90,8 @@ def _flash_forward(q, k, v):
     n = math.prod(lead) if lead else 1
     scale = 1.0 / math.sqrt(D)
 
-    blk_q = min(512, _round_up(L, LANE))
-    lp = _round_up(L, blk_q)
+    lp = _round_up(L, LANE)        # padded seq length (q and k sides)
+    blk_q = _pick_block_q(lp)
     dp = _round_up(D, LANE)
 
     def prep(x):
@@ -95,6 +107,8 @@ def _flash_forward(q, k, v):
         in_specs=[
             pl.BlockSpec((1, blk_q, dp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
+            # K/V index maps ignore j -> fetched once per row n, reused
+            # across all q-blocks (j is the fastest-varying grid dim)
             pl.BlockSpec((1, lp, dp), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, lp, dp), lambda i, j: (i, 0, 0),

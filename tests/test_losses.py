@@ -4,7 +4,10 @@ import numpy as np
 import torch
 
 from mss_tf_locoformer_tpu.core.config import LossConfig
-from mss_tf_locoformer_tpu.losses import mss_loss as L
+# the package re-exports the mss_loss *function*, shadowing the submodule
+# attribute — import the module from sys.modules via importlib instead
+import importlib
+L = importlib.import_module("mss_tf_locoformer_tpu.losses.mss_loss")
 
 
 def test_si_sdr_perfect_reconstruction(rng):
