@@ -85,6 +85,7 @@ class ModelConfig:
     # Attention
     n_heads: int = 4
     flash_attention: bool = False  # on TPU: selects the Pallas flash kernel
+    fused_stft: bool = False  # Pallas fused framing+window+rDFT STFT/iSTFT
     attention_dim: int = 128
     pos_enc: str = "rope"  # {"rope", "nope"}
     # FFN
@@ -241,6 +242,11 @@ class TrainingConfig:
     val_interval: int = 1
     early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
     log_interval: int = 50
+    # jax.profiler trace window: capture `profile_steps` steps starting at
+    # `profile_start_step` into <log_dir>/plugins/profile (TensorBoard).
+    # 0 disables (the reference has no profiler; SURVEY.md §5).
+    profile_steps: int = 0
+    profile_start_step: int = 5
 
     def __post_init__(self):
         if self.amp_dtype not in ("bfloat16", "float16", "float32"):

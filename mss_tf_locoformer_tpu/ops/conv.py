@@ -14,6 +14,12 @@ strings below do the bookkeeping, XLA picks the layout.
 ConvTranspose is implemented as input-dilated convolution with a flipped
 kernel, which is bit-identical to torch's gradient-of-conv definition:
 ``out_len = (L-1)*stride - 2*pad + K``.
+
+No ``preferred_element_type`` upcast: the TPU MXU accumulates in fp32 for
+bf16 operands regardless, and requesting an fp32 *result* from bf16 operands
+breaks ``jax.grad`` (the conv transpose rule feeds the fp32 cotangent into a
+conv against the bf16 kernel -> dtype mismatch).  Results are returned in the
+activation dtype, matching torch autocast semantics.
 """
 
 from __future__ import annotations
@@ -40,7 +46,6 @@ def conv1d(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = No
         window_strides=(stride,),
         padding=[(padding, padding)],
         dimension_numbers=("NHC", "OIH", "NHC"),
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias
@@ -56,7 +61,6 @@ def conv2d(x: jnp.ndarray, weight: jnp.ndarray, bias: Optional[jnp.ndarray] = No
         window_strides=_pair(stride),
         padding=[(ph, ph), (pw, pw)],
         dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias
@@ -76,7 +80,6 @@ def conv_transpose1d(x: jnp.ndarray, weight: jnp.ndarray,
         padding=[(k - 1 - padding, k - 1 - padding)],
         lhs_dilation=(stride,),
         dimension_numbers=("NHC", "OIH", "NHC"),
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias
@@ -97,7 +100,6 @@ def conv_transpose2d(x: jnp.ndarray, weight: jnp.ndarray,
         padding=[(kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)],
         lhs_dilation=(sh, sw),
         dimension_numbers=("NHWC", "OIHW", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias

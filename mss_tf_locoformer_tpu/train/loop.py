@@ -33,6 +33,7 @@ from ..data.musdb import MUSDBDataset
 from ..models.mss_tflocoformer import TFLocoformerMSS
 from ..parallel import mesh as M
 from ..utils.common import AverageMeter, count_parameters, format_time, set_seed
+from ..utils.profiling import StepProfiler
 from .checkpoint import CheckpointManager
 from .schedule import EarlyStopping
 from .state import LRController, TrainState, init_state, make_optimizer
@@ -82,6 +83,8 @@ class Trainer:
         self.ckpt = CheckpointManager(self.ckpt_dir, keep_last=tcfg.keep_last,
                                       save_best=tcfg.save_best)
         self.writer = self._make_writer()
+        self.profiler = StepProfiler(self.log_dir, n_steps=tcfg.profile_steps,
+                                     start_step=tcfg.profile_start_step)
 
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
@@ -149,8 +152,10 @@ class Trainer:
             targets = jax.tree.map(lambda x: jax.device_put(x, sharding), targets)
             lr = self.lr_ctl.lr_at(int(state.step))
             rng, sub = jax.random.split(rng)
+            self.profiler.step_start(int(state.step))
             state, ld = self.train_step(state, mixture, targets, lr, sub)
-            loss = float(ld["total_loss"])
+            loss = float(ld["total_loss"])  # host sync point
+            self.profiler.step_end(int(state.step) - 1)
             meter.update(loss, mixture.shape[0])
             if i % tcfg.log_interval == 0:
                 step = int(state.step)
@@ -232,6 +237,11 @@ class Trainer:
                 break
 
         self.state = state
+        self.profiler.close()
+        stats = self.profiler.stats()
+        if stats:
+            self._log("step time: " + "  ".join(
+                f"{k}={v:.4g}" for k, v in stats.items()))
         if self.writer is not None:
             self.writer.close()
         return state

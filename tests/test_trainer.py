@@ -87,3 +87,31 @@ def test_reference_yaml_configs_load(tmp_path):
         cfg = load_config(src)
         assert cfg.model.n_fft in (1024, 2048, 4096)
         assert cfg.training.optimizer.lr > 0
+
+
+def test_step_profiler_stats(tmp_path):
+    from mss_tf_locoformer_tpu.utils.profiling import StepProfiler, step_time_stats
+    p = StepProfiler(str(tmp_path), n_steps=0)  # tracing disabled
+    for i in range(5):
+        p.step_start(i)
+        p.step_end(i)
+    p.close()
+    stats = p.stats()
+    assert stats["steps"] == 5
+    assert stats["mean_s"] >= 0.0
+    assert step_time_stats([]) == {}
+
+
+def test_step_profiler_trace_window(tmp_path):
+    """profile_steps>0 writes a profile trace under log_dir."""
+    import os
+    from mss_tf_locoformer_tpu.utils.profiling import StepProfiler
+    p = StepProfiler(str(tmp_path), n_steps=2, start_step=1)
+    import jax.numpy as jnp
+    for i in range(4):
+        p.step_start(i)
+        jnp.ones((8, 8)).sum().block_until_ready()
+        p.step_end(i)
+    p.close()
+    found = [f for root, _, fs in os.walk(tmp_path) for f in fs]
+    assert found, "no profiler artifacts written"
