@@ -26,7 +26,7 @@ def main():
 
     cfg = ModelConfig(n_fft=2048, hop_length=512, n_sources=4, n_layers=4,
                       emb_dim=96, num_groups=4, n_heads=4, attention_dim=96,
-                      flash_attention=True,
+                      flash_attention=True, fused_ffn=True, fused_stft=True,
                       ffn_type=("swiglu_conv1d", "swiglu_conv1d"),
                       ffn_hidden_dim=(384, 384))
     model = TFLocoformerMSS(cfg, precision=BF16)
@@ -45,15 +45,20 @@ def main():
     def forward(mixture):
         return model.apply(params, mixture)
 
-    # warmup / compile
-    out = forward(mixture)
-    jax.block_until_ready(out)
+    # warmup / compile; sync via a scalar fetch (block_until_ready alone has
+    # been observed to return early over remote-device tunnels)
+    def run_sync(n):
+        out = None
+        for _ in range(n):
+            out = forward(mixture)
+        return float(sum(jnp.sum(v.astype(jnp.float32)) for v in out.values()))
+
+    import jax.numpy as jnp
+    run_sync(1)
 
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(mixture)
-    jax.block_until_ready(out)
+    run_sync(iters)
     elapsed = time.perf_counter() - t0
 
     audio_sec = batch * seconds * iters

@@ -21,7 +21,7 @@ def parse_args(argv=None):
     p.add_argument("--device", type=str, default=None, help="Ignored on TPU")
     p.add_argument("--chunk_seconds", type=float, default=8.0)
     p.add_argument("--overlap_seconds", type=float, default=1.0)
-    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=2)  # fits 16 GB HBM (bf16)
     return p.parse_args(argv)
 
 

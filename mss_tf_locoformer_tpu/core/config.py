@@ -30,8 +30,15 @@ __all__ = [
     "PathsConfig",
     "MeshConfig",
     "Config",
+    "SpeechDatasetConfig",
+    "SeparatorConfig",
+    "STFTConfig",
+    "SpeechLossConfig",
+    "SpeechConfig",
     "load_config",
+    "load_speech_config",
     "config_from_dict",
+    "speech_config_from_dict",
 ]
 
 SOURCE_NAMES = ("vocals", "drums", "bass", "other")
@@ -86,6 +93,7 @@ class ModelConfig:
     n_heads: int = 4
     flash_attention: bool = False  # on TPU: selects the Pallas flash kernel
     fused_stft: bool = False  # Pallas fused framing+window+rDFT STFT/iSTFT
+    fused_ffn: bool = False   # Pallas fused conv-SwiGLU-deconv FFN kernel
     attention_dim: int = 128
     pos_enc: str = "rope"  # {"rope", "nope"}
     # FFN
@@ -296,6 +304,99 @@ class Config:
     seed: int = 42
 
 
+# --------------------------------------------------------------------------
+# Speech-separation task (the reference trains these through external ESPnet
+# recipes, ``egs2/*/enh1/conf/tuning/train_enh_tflocoformer.yaml``; here the
+# same surface is first-class).
+
+@dataclass(frozen=True)
+class SpeechDatasetConfig:
+    """wsj0-2mix-style parallel-directory corpus (``data/speech.py``)."""
+
+    root_dir: str = ""
+    valid_dir: Optional[str] = None   # separate dev-set root (else no val)
+    num_spk: int = 2
+    mix_dir: str = "mix"
+    spk_dirs: Optional[Tuple[str, ...]] = None
+    sample_rate: int = 8000
+    segment_length: Optional[int] = 32000  # 4 s at 8 kHz (recipe default)
+
+    def __post_init__(self):
+        if self.spk_dirs is not None:
+            object.__setattr__(self, "spk_dirs", tuple(self.spk_dirs))
+
+
+@dataclass(frozen=True)
+class SeparatorConfig:
+    """``TFLocoformerSeparator`` surface (reference
+    ``standalone/tflocoformer_separator.py:173-227``)."""
+
+    num_spk: int = 2
+    n_layers: int = 6
+    emb_dim: int = 128
+    norm_type: str = "rmsgroupnorm"
+    num_groups: int = 4
+    tf_order: str = "ft"
+    n_heads: int = 4
+    flash_attention: bool = False
+    fused_ffn: bool = False
+    attention_dim: int = 128
+    pos_enc: str = "rope"
+    ffn_type: Union[str, Tuple[str, ...]] = "swiglu_conv1d"
+    ffn_hidden_dim: Union[int, Tuple[int, ...]] = 384
+    conv1d_kernel: int = 4
+    conv1d_shift: int = 1
+    dropout: float = 0.0
+    eps: float = 1.0e-5
+
+    def __post_init__(self):
+        object.__setattr__(self, "ffn_type", _as_tuple(self.ffn_type))
+        object.__setattr__(self, "ffn_hidden_dim", _as_tuple(self.ffn_hidden_dim))
+
+    def module_kwargs(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["ffn_type"] = _as_tuple(d["ffn_type"])
+        d["ffn_hidden_dim"] = _as_tuple(d["ffn_hidden_dim"])
+        return d
+
+
+@dataclass(frozen=True)
+class STFTConfig:
+    """Recipe transform (``egs2/wsj0_2mix/.../train_enh_tflocoformer.yaml:
+    50-57``: n_fft 128, hop 64 at 8 kHz)."""
+
+    n_fft: int = 128
+    hop_length: int = 64
+
+
+@dataclass(frozen=True)
+class SpeechLossConfig:
+    """PIT criteria (recipes: ``wrapper: pit``+``criterion: si_snr``;
+    DNS: ``wrapper: fixed_order``+``criterion: mr_l1_tfd``)."""
+
+    criterion: str = "si_snr"     # {"si_snr", "mr_l1_tfd"}
+    wrapper: str = "pit"          # {"pit", "fixed_order"}
+
+    def __post_init__(self):
+        if self.criterion not in ("si_snr", "mr_l1_tfd"):
+            raise ValueError(f"criterion must be si_snr|mr_l1_tfd, got {self.criterion}")
+        if self.wrapper not in ("pit", "fixed_order"):
+            raise ValueError(f"wrapper must be pit|fixed_order, got {self.wrapper}")
+
+
+@dataclass(frozen=True)
+class SpeechConfig:
+    task: str = "speech_separation"
+    dataset: SpeechDatasetConfig = field(default_factory=SpeechDatasetConfig)
+    separator: SeparatorConfig = field(default_factory=SeparatorConfig)
+    stft: STFTConfig = field(default_factory=STFTConfig)
+    loss: SpeechLossConfig = field(default_factory=SpeechLossConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 42
+
+
 _SECTIONS = {
     "dataset": DatasetConfig,
     "model": ModelConfig,
@@ -355,3 +456,53 @@ def load_config(path: str) -> Config:
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
     return config_from_dict(raw)
+
+
+_SPEECH_SECTIONS = {
+    "dataset": SpeechDatasetConfig,
+    "separator": SeparatorConfig,
+    "stft": STFTConfig,
+    "loss": SpeechLossConfig,
+    "paths": PathsConfig,
+    "mesh": MeshConfig,
+}
+
+
+def speech_config_from_dict(raw: Mapping[str, Any]) -> SpeechConfig:
+    kwargs: dict = {}
+    for key, val in raw.items():
+        if key == "seed":
+            kwargs["seed"] = int(val)
+        elif key == "task":
+            kwargs["task"] = str(val)
+        elif key == "training":
+            val = dict(val)
+            sched = dict(val.get("scheduler") or {})
+            for wk in ("warmup_steps", "warmup_start_lr"):
+                if wk in val:
+                    sched.setdefault(wk, val.pop(wk))
+            if sched:
+                val["scheduler"] = sched
+            if "optimizer" in val:
+                val["optimizer"] = _build(OptimizerConfig, val["optimizer"],
+                                          "training.optimizer")
+            if "scheduler" in val:
+                val["scheduler"] = _build(SchedulerConfig, val["scheduler"],
+                                          "training.scheduler")
+            if "early_stopping" in val:
+                val["early_stopping"] = _build(EarlyStoppingConfig,
+                                               val["early_stopping"],
+                                               "training.early_stopping")
+            kwargs["training"] = _build(TrainingConfig, val, "training")
+        elif key in _SPEECH_SECTIONS:
+            kwargs[key] = _build(_SPEECH_SECTIONS[key], val, key)
+        else:
+            raise ValueError(f"Unknown top-level key '{key}' in speech config. "
+                             f"Valid: {sorted(_SPEECH_SECTIONS) + ['training', 'seed', 'task']}")
+    return SpeechConfig(**kwargs)
+
+
+def load_speech_config(path: str) -> SpeechConfig:
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return speech_config_from_dict(raw)

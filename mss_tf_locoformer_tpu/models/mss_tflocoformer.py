@@ -74,7 +74,7 @@ class TFLocoformerMSS(nn.Module):
                 attention_dim=cfg.attention_dim, use_rope=(cfg.pos_enc == "rope"),
                 ffn_type=cfg.ffn_type, ffn_hidden_dim=cfg.ffn_hidden_dim,
                 conv1d_kernel=cfg.conv1d_kernel, conv1d_shift=cfg.conv1d_shift,
-                dropout=cfg.dropout, eps=cfg.eps,
+                dropout=cfg.dropout, fused_ffn=cfg.fused_ffn, eps=cfg.eps,
                 dtype=self.precision.compute_dtype,
                 name=f"blocks_{i}")(x, deterministic=deterministic)
         x = self.decode(x.astype(jnp.float32))                   # fp32 island

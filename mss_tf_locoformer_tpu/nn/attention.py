@@ -41,12 +41,17 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = jnp.moveaxis(qkv, (2, 3), (0, 2))  # [3, B, H, L, D]
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        if self.use_rope:
-            q = apply_rope(q).astype(self.dtype)  # fp32 island inside
-            k = apply_rope(k).astype(self.dtype)
-
         backend = "flash" if self.flash_attention else "auto"
-        out = dot_product_attention(q, k, v, backend=backend)  # [B, H, L, D]
+        if self.use_rope and self.flash_attention:
+            # RoPE fused into the Pallas kernel (fp32 inside) — saves two
+            # full HBM round-trips of Q and K
+            out = dot_product_attention(q, k, v, backend=backend,
+                                        fused_rope=True)
+        else:
+            if self.use_rope:
+                q = apply_rope(q).astype(self.dtype)  # fp32 island inside
+                k = apply_rope(k).astype(self.dtype)
+            out = dot_product_attention(q, k, v, backend=backend)  # [B,H,L,D]
 
         out = jnp.swapaxes(out, 1, 2).reshape(b, l, self.attention_dim)
         out = Linear(self.attention_dim, self.emb_dim, use_bias=False,

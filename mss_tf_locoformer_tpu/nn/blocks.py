@@ -43,6 +43,7 @@ class LocoformerBlock(nn.Module):
     conv1d_kernel: int = 4
     conv1d_shift: int = 1
     dropout: float = 0.0
+    fused_ffn: bool = False
     eps: float = 1.0e-5
     dtype: jnp.dtype = jnp.float32
 
@@ -65,7 +66,8 @@ class LocoformerBlock(nn.Module):
 
         ffns = [
             _FFN[t](self.emb_dim, d, self.conv1d_kernel, self.conv1d_shift,
-                    dropout=self.dropout, dtype=self.dtype, name=f"ffn_{i}")
+                    dropout=self.dropout, use_fused=self.fused_ffn,
+                    dtype=self.dtype, name=f"ffn_{i}")
             for i, (t, d) in enumerate(zip(types, dims))
         ]
         ffn_norms = [self._norm(f"ffn_norm_{i}") for i in range(len(ffns))]
@@ -106,6 +108,7 @@ class TFLocoformerBlock(nn.Module):
     conv1d_kernel: int = 4
     conv1d_shift: int = 1
     dropout: float = 0.0
+    fused_ffn: bool = False
     eps: float = 1.0e-5
     dtype: jnp.dtype = jnp.float32
 
@@ -118,8 +121,8 @@ class TFLocoformerBlock(nn.Module):
             flash_attention=self.flash_attention, attention_dim=self.attention_dim,
             use_rope=self.use_rope, ffn_type=self.ffn_type,
             ffn_hidden_dim=self.ffn_hidden_dim, conv1d_kernel=self.conv1d_kernel,
-            conv1d_shift=self.conv1d_shift, dropout=self.dropout, eps=self.eps,
-            dtype=self.dtype,
+            conv1d_shift=self.conv1d_shift, dropout=self.dropout,
+            fused_ffn=self.fused_ffn, eps=self.eps, dtype=self.dtype,
         )
         freq_path = LocoformerBlock(**kwargs, name="freq_path")
         frame_path = LocoformerBlock(**kwargs, name="frame_path")

@@ -13,17 +13,24 @@ implement the *intended* op using the same padding scheme as the SwiGLU
 variant (documented divergence; parameter schema is unchanged).
 
 TPU note: rows ([B*S1] of them) are batched through one big conv — MXU-sized
-matmuls, no per-row loops.
+matmuls, no per-row loops.  With ``use_fused`` (and stride 1, no active
+dropout) the whole conv -> SwiGLU -> deconv chain runs as one Pallas kernel
+(``ops/pallas/swiglu_ffn.py``) that never materializes the ``2*inner``-wide
+intermediate in HBM.  Parameters live under the same ``conv1d``/``deconv1d``
+scopes either way, so checkpoints are path-independent.
 """
 
 from __future__ import annotations
 
 import math
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import Conv1d, ConvTranspose1d
+from ..ops import conv as conv_ops
+from ..ops.pallas import swiglu_ffn
+from .layers import Conv1d, ConvTranspose1d, _uniform_init
 
 __all__ = ["SwiGLUConvDeconv1d", "ConvDeconv1d"]
 
@@ -33,31 +40,65 @@ def _pad_len(s2: int, kernel: int, shift: int) -> int:
     return math.ceil((s2 + 2 * diff_ks - kernel) / shift) * shift + kernel
 
 
+class _ConvParams(nn.Module):
+    """Bare conv weight+bias in a named child scope (torch layouts/inits),
+    shared by the fused and unfused execution paths."""
+
+    shape: Tuple[int, ...]   # [O, I, K] conv / [I, O, K] conv-transpose
+    fan_in: int
+    bias_dim: int
+
+    @nn.compact
+    def __call__(self):
+        bound = 1.0 / (self.fan_in ** 0.5)
+        w = self.param("weight", _uniform_init(bound), self.shape)
+        b = self.param("bias", _uniform_init(bound), (self.bias_dim,))
+        return w, b
+
+
 class SwiGLUConvDeconv1d(nn.Module):
     dim: int
     dim_inner: int
     conv1d_kernel: int
     conv1d_shift: int
     dropout: float = 0.0
+    use_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         """x: [B, S1, S2, C] -> [B, S1, S2, C] (conv along S2, rows B*S1)."""
         b, s1, s2, h = x.shape
-        diff_ks = self.conv1d_kernel - self.conv1d_shift
+        k, shift = self.conv1d_kernel, self.conv1d_shift
+        diff_ks = k - shift
         x = x.reshape(b * s1, s2, h)
-        seq_len = _pad_len(s2, self.conv1d_kernel, self.conv1d_shift)
+        seq_len = _pad_len(s2, k, shift)
         x = jnp.pad(x, ((0, 0), (diff_ks, seq_len - s2 - diff_ks), (0, 0)))
 
-        y = Conv1d(self.dim, self.dim_inner * 2, self.conv1d_kernel,
-                   stride=self.conv1d_shift, dtype=self.dtype, name="conv1d")(x)
-        gate = nn.silu(y[..., self.dim_inner:])
-        y = y[..., :self.dim_inner] * gate
-        y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        y = ConvTranspose1d(self.dim_inner, self.dim, self.conv1d_kernel,
-                            stride=self.conv1d_shift, dtype=self.dtype,
-                            name="deconv1d")(y)
+        fused_ok = (self.use_fused and swiglu_ffn.supports(k, shift)
+                    and (deterministic or self.dropout == 0.0))
+        cw = _ConvParams((self.dim_inner * 2, self.dim, k),
+                         fan_in=self.dim * k, bias_dim=self.dim_inner * 2,
+                         name="conv1d")
+        dw = _ConvParams((self.dim_inner, self.dim, k),
+                         fan_in=self.dim * k, bias_dim=self.dim,
+                         name="deconv1d")
+        conv_w, conv_b = cw()
+        deconv_w, deconv_b = dw()
+
+        if fused_ok:
+            y = swiglu_ffn.swiglu_conv_deconv(
+                x.astype(self.dtype), conv_w, conv_b, deconv_w, deconv_b, k)
+        else:
+            y = conv_ops.conv1d(x.astype(self.dtype),
+                                conv_w.astype(self.dtype),
+                                conv_b.astype(self.dtype), stride=shift)
+            gate = nn.silu(y[..., self.dim_inner:])
+            y = y[..., :self.dim_inner] * gate
+            y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
+            y = conv_ops.conv_transpose1d(y, deconv_w.astype(self.dtype),
+                                          deconv_b.astype(self.dtype),
+                                          stride=shift)
         y = y[:, diff_ks:diff_ks + s2, :]
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
         return y.reshape(b, s1, s2, h)
@@ -69,6 +110,7 @@ class ConvDeconv1d(nn.Module):
     conv1d_kernel: int
     conv1d_shift: int
     dropout: float = 0.0
+    use_fused: bool = False  # accepted for API parity; plain path only
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

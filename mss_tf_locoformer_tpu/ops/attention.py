@@ -71,15 +71,25 @@ def dot_product_attention(
     v: jnp.ndarray,
     backend: str = "auto",
     max_score_bytes: int = _DEFAULT_MAX_SCORE_BYTES,
+    fused_rope: bool = False,
+    rope_theta: float = 10000.0,
 ) -> jnp.ndarray:
     """Self-attention over ``[..., L, D]`` (no mask — the reference never
-    masks; rows are independent TF strips)."""
+    masks; rows are independent TF strips).
+
+    ``fused_rope`` applies interleaved-pair RoPE to q/k inside the flash
+    kernel (flash backend only); non-flash callers must pre-rotate.
+    """
     if backend == "flash":
         try:
             from .pallas.flash_attention import flash_attention
-            return flash_attention(q, k, v)
+            return flash_attention(q, k, v, fused_rope, rope_theta)
         except Exception:
             backend = "auto"
+    if fused_rope:  # fallback path: rotate explicitly
+        from .rope import apply_rope
+        q = apply_rope(q, rope_theta).astype(q.dtype)
+        k = apply_rope(k, rope_theta).astype(k.dtype)
     if backend == "xla":
         return _xla_attention(q, k, v)
 

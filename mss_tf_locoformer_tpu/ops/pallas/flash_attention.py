@@ -1,17 +1,26 @@
 """Fused attention kernel (Pallas/TPU) for TF-Locoformer shapes.
 
 Shape regime (see SURVEY.md §3 hot-loop summary): row batch N = B*T*H or
-B*F*H is large (hundreds to thousands), sequence length L is moderate
-(freq bins F <= 2049, or chunked frame counts), head_dim D is small (16-64).
-The XLA path materializes ``N * L * L`` fp32 scores in HBM (the reference's
+B*F*H is large (thousands), sequence length L is moderate (freq bins
+F <= 2049, chunked frame counts ~100s), head_dim D is SMALL (16-64).  The
+XLA path materializes ``N * L * L`` fp32 scores in HBM (the reference's
 documented OOM, MEMORY_ANALYSIS.md); here scores live only in VMEM.
 
-Design: "block-Q flash".  For each (row, q-block) grid cell the FULL K/V for
-that row sits in VMEM (L*128 fp32 <= ~1 MB at L=2049) and the kernel computes
-the q-block's entire score row in one MXU pass + fp32 softmax + PV matmul —
-no online-softmax loop needed at these L, which keeps the kernel a straight
-3-op pipeline.  head_dim is zero-padded to the 128-lane width (zero pads are
-exact no-ops for QK^T and are cropped from the PV output).
+Design — "transposed block flash", shaped by two facts measured on v5e:
+
+  1. **Small D is lane poison.**  A conventional ``[L, D]`` layout pads
+     D=24 to the 128-lane width: 5.3x wasted HBM traffic on Q/K/V/O and a
+     5.3x-padded PV matmul.  Here tensors are TRANSPOSED to ``[D, L]`` so D
+     sits on *sublanes* (pad 24 -> 32, 1.3x) and L on lanes.  Scores are
+     computed directly transposed, ``S^T = K_t^T-contraction-Q_t`` via a
+     dim-0/dim-0 ``dot_general`` (contraction over D), softmax runs over the
+     sublane axis, and ``O^T = V_t @ P`` contracts over L at full MXU
+     efficiency with a ``[D, L]`` output.  Net: ~4x less HBM traffic and no
+     lane-padded matmul flops.
+  2. **Tiny grid programs are dispatch poison.**  One (row, q-block) per
+     program put ~12k programs on the grid at ~5 us fixed cost each.  Here
+     each program owns ``G`` row-heads (G sized to VMEM) and loops q-blocks
+     and rows internally, cutting the grid ~12x.
 
 Backward: gradients recompute attention through the memory-bounded chunked
 XLA path (``custom_vjp`` below) — correct and OOM-free; a fused Pallas
@@ -34,17 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["flash_attention"]
 
 LANE = 128
-MAX_L = 4096  # VMEM budget guard (K,V fp32 + bf16 inputs comfortably fit)
+SUBLANE = 32          # D padding granularity (bf16 tile height 16; 32 is safe)
+MAX_L = 4096          # VMEM budget guard
+_VMEM_TARGET = 13 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_block_q(lp: int) -> int:
-    """Largest divisor of ``lp`` that is a multiple of 128 and <= 512 —
-    minimizes padded-score inflation (VPU softmax cost) while keeping few
-    grid programs."""
+def _pick_blk_q(lp: int) -> int:
+    """Largest divisor of ``lp`` that is a multiple of 128 and <= 512."""
     best = 128
     for blk in range(128, 513, 128):
         if lp % blk == 0:
@@ -52,37 +61,72 @@ def _pick_block_q(lp: int) -> int:
     return best
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, l_actual: int):
-    q = q_ref[0]  # [BLK_Q, 128]
-    k = k_ref[0]  # [KP, 128]
-    v = v_ref[0]  # [KP, 128]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [BLK_Q, KP]
-
-    kp = s.shape[-1]
-    if kp != l_actual:  # mask padded key columns
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < l_actual, s, -1e30)
-
-    # unnormalized softmax; the row divide happens on the tiny [BLK_Q, 128]
-    # output instead of the full [BLK_Q, KP] score block (VPU savings)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-
-    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0] = (acc / denom).astype(o_ref.dtype)
+def _pick_group(lp: int, dp: int, blk_q: int, itemsize: int) -> int:
+    """Rows per program: fill VMEM with q/k/v/o rows next to the fp32 score
+    blocks, amortizing per-program dispatch cost.  Pallas double-buffers
+    every grid block (x2), and the softmax keeps ~3 score-sized fp32
+    temporaries (s, p, and the exp scratch) live."""
+    score_bytes = 3 * lp * blk_q * 4
+    per_row = 2 * 4 * dp * lp * itemsize  # q, k, v, o, double-buffered
+    g = max(1, (_VMEM_TARGET - score_bytes) // per_row)
+    return int(min(g, 64))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    return _flash_forward(q, k, v)
+def _rope_t(x, cos_t, sin_t, dp):
+    """RoPE in the transposed [Dp, L] layout, fp32: the interleaved-pair
+    partner swap is a sublane roll pair + row-parity select."""
+    xf = x.astype(jnp.float32)
+    up = pltpu.roll(xf, dp - 1, 0)    # row d <- x[d+1]
+    dn = pltpu.roll(xf, 1, 0)         # row d <- x[d-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, xf.shape, dimension=0)
+    swapped = jnp.where(row % 2 == 0, -up, dn)
+    return (xf * cos_t + swapped * sin_t).astype(x.dtype)
 
 
-def _flash_forward(q, k, v):
+def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale: float,
+            l_actual: int, blk_q: int, group: int, rope: bool):
+    lp = q_ref.shape[-1]
+    dp = q_ref.shape[-2]
+    masked = lp != l_actual
+    for gi in range(group):
+        k_t = k_ref[gi]  # [Dp, Lp]
+        v_t = v_ref[gi]
+        if rope:
+            k_t = _rope_t(k_t, cos_ref[:], sin_ref[:], dp)
+        for qb in range(lp // blk_q):
+            q_t = q_ref[gi, :, qb * blk_q:(qb + 1) * blk_q]  # [Dp, BLK]
+            if rope:
+                q_t = _rope_t(q_t, cos_ref[:, qb * blk_q:(qb + 1) * blk_q],
+                              sin_ref[:, qb * blk_q:(qb + 1) * blk_q], dp)
+            # S^T [Lp, BLK]: contraction over D (sublane axis of both)
+            s = jax.lax.dot_general(
+                k_t, q_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if masked:  # mask padded KEY rows (dim 0 of S^T)
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=0)
+                s = jnp.where(row < l_actual, s, -1e30)
+            m = jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=0, keepdims=True)  # [1, BLK]
+            # O^T [Dp, BLK] = V_t @ P: contraction over Lp (full MXU depth)
+            acc = jax.lax.dot_general(
+                v_t, p.astype(v_t.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[gi, :, qb * blk_q:(qb + 1) * blk_q] = \
+                (acc / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    rope: bool = False, theta: float = 10000.0) -> jnp.ndarray:
+    """Attention over the second-to-last axis; with ``rope=True`` the
+    interleaved-pair rotary embedding (fp32) is fused into the kernel —
+    skipping two full HBM round-trips of Q and K."""
+    return _flash_forward(q, k, v, rope, theta)
+
+
+def _flash_forward(q, k, v, rope=False, theta=10000.0):
     """q, k, v: [..., L, D] -> [..., L, D]."""
     *lead, L, D = q.shape
     if L > MAX_L:
@@ -90,47 +134,67 @@ def _flash_forward(q, k, v):
     n = math.prod(lead) if lead else 1
     scale = 1.0 / math.sqrt(D)
 
-    lp = _round_up(L, LANE)        # padded seq length (q and k sides)
-    blk_q = _pick_block_q(lp)
-    dp = _round_up(D, LANE)
+    lp = _round_up(L, LANE)
+    dp = _round_up(D, SUBLANE)
+    blk_q = _pick_blk_q(lp)
+    group = _pick_group(lp, dp, blk_q, jnp.dtype(q.dtype).itemsize)
+    n_pad = _round_up(n, group)
 
-    def prep(x):
+    def prep(x, pre_scale=1.0):
         x = x.reshape(n, L, D)
-        return jnp.pad(x, ((0, 0), (0, lp - L), (0, dp - D)))
+        if pre_scale != 1.0:
+            x = x * jnp.asarray(pre_scale, x.dtype)
+        x = jnp.swapaxes(x, -1, -2)  # [n, D, L]
+        return jnp.pad(x, ((0, n_pad - n), (0, dp - D), (0, lp - L)))
 
-    qp, kp, vp = prep(q), prep(k), prep(v)
+    # fold the softmax scale into q on the XLA side (fuses with the
+    # transpose; legal before RoPE too — rotation is linear per pair)
+    qp, kp, vp = prep(q, scale), prep(k), prep(v)
 
-    grid = (n, lp // blk_q)
+    from ..rope import _tables_np
+    import numpy as np
+    if rope:
+        cos_np, sin_np = _tables_np(L, D, theta)  # [L, D]
+        cos = np.zeros((dp, lp), np.float32)
+        sin = np.zeros((dp, lp), np.float32)
+        cos[:D, :L] = cos_np.T
+        sin[:D, :L] = sin_np.T
+    else:  # unused constants; keep the kernel signature uniform
+        cos = np.zeros((dp, lp), np.float32)
+        sin = np.zeros((dp, lp), np.float32)
+
+    grid = (n_pad // group,)
+    spec = pl.BlockSpec((group, dp, lp), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((dp, lp), lambda i: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, l_actual=L),
+        functools.partial(_kernel, scale=1.0, l_actual=L, blk_q=blk_q,
+                          group=group, rope=rope),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, blk_q, dp), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            # K/V index maps ignore j -> fetched once per row n, reused
-            # across all q-blocks (j is the fastest-varying grid dim)
-            pl.BlockSpec((1, lp, dp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, dp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, blk_q, dp), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, lp, dp), q.dtype),
-    )(qp, kp, vp)
-    return out[:, :L, :D].reshape(*lead, L, D)
+        in_specs=[spec, spec, spec, tspec, tspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, dp, lp), q.dtype),
+    )(qp, kp, vp, jnp.asarray(cos), jnp.asarray(sin))
+    out = jnp.swapaxes(out[:n, :D, :L], -1, -2)  # [n, L, D]
+    return out.reshape(*lead, L, D)
 
 
-def _flash_fwd(q, k, v):
-    return _flash_forward(q, k, v), (q, k, v)
+def _flash_fwd(q, k, v, rope, theta):
+    return _flash_forward(q, k, v, rope, theta), (q, k, v)
 
 
-def _flash_bwd(residuals, g):
+def _flash_bwd(rope, theta, residuals, g):
     from ..attention import _chunked_attention, _DEFAULT_MAX_SCORE_BYTES
+    from ..rope import apply_rope
     q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda a, b, c: _chunked_attention(a, b, c, _DEFAULT_MAX_SCORE_BYTES),
-        q, k, v)
+
+    def ref(a, b, c):
+        if rope:
+            a = apply_rope(a, theta).astype(a.dtype)
+            b = apply_rope(b, theta).astype(b.dtype)
+        return _chunked_attention(a, b, c, _DEFAULT_MAX_SCORE_BYTES)
+
+    _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
 
 

@@ -12,10 +12,18 @@ reference applies to Q/K in fp32 (``models/mss_tflocoformer.py:550-559``):
 RoPE has no learnable parameters (reference state_dicts contain no rope
 keys), so it is a pure function here.
 
-TPU note: instead of materializing the interleaved shuffle (a lane-crossing
-permutation), we compute on the de-interleaved pair view
-``x -> [..., d/2, 2]`` where the rotation is a plain 2-D rotation per pair —
-XLA fuses this into two multiplies and an add per element.
+TPU layout note: head_dim D (16-64 here) lives on the 128-wide lane axis.
+Reshaping it to ``[d/2, 2]`` pair views puts 2 on lanes — a relayout
+catastrophe (measured ~6 ms per call at MSS shapes).  Instead the rotation
+uses full-width ``[L, D]`` cos/sin tables (each angle repeated for its pair)
+and expresses the interleaved partner-swap as two single-lane rolls plus an
+even/odd lane select:
+
+  out = x * cos + swap(x) * sin,   swap(x)[2i] = -x[2i+1],
+                                   swap(x)[2i+1] = x[2i]
+
+— every op stays at the original lane width and XLA fuses the whole thing
+into one elementwise pass.
 """
 
 from __future__ import annotations
@@ -25,7 +33,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["rope_angles", "apply_rope"]
+__all__ = ["rope_angles", "rope_tables", "apply_rope"]
 
 
 @functools.lru_cache(maxsize=64)
@@ -41,6 +49,18 @@ def rope_angles(seq_len: int, dim: int, theta: float = 10000.0):
             jnp.asarray(np.sin(ang), dtype=jnp.float32))
 
 
+@functools.lru_cache(maxsize=64)
+def _tables_np(seq_len: int, dim: int, theta: float):
+    ang = np.repeat(_angles_np(seq_len, dim, theta), 2, axis=-1)  # [L, D]
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def rope_tables(seq_len: int, dim: int, theta: float = 10000.0):
+    """Full-width cos/sin tables ``[L, D]`` (each pair's angle repeated)."""
+    cos, sin = _tables_np(seq_len, dim, theta)
+    return jnp.asarray(cos), jnp.asarray(sin)
+
+
 def apply_rope(x: jnp.ndarray, theta: float = 10000.0) -> jnp.ndarray:
     """Rotate ``x [..., L, D]`` positions along axis -2, pairs along axis -1.
 
@@ -48,12 +68,13 @@ def apply_rope(x: jnp.ndarray, theta: float = 10000.0) -> jnp.ndarray:
     rotary-embedding-torch (interleaved pairs, full-dim rotation, fp32).
     """
     seq_len, dim = x.shape[-2], x.shape[-1]
-    cos, sin = rope_angles(seq_len, dim, theta)
+    cos, sin = rope_tables(seq_len, dim, theta)
     orig_dtype = x.dtype
-    xp = x.astype(jnp.float32).reshape(x.shape[:-1] + (dim // 2, 2))
-    x_even, x_odd = xp[..., 0], xp[..., 1]
-    # pair rotation: (x_e, x_o) -> (x_e c - x_o s, x_o c + x_e s)
-    out_even = x_even * cos - x_odd * sin
-    out_odd = x_odd * cos + x_even * sin
-    out = jnp.stack([out_even, out_odd], axis=-1).reshape(x.shape)
+    xf = x.astype(jnp.float32)
+    # interleaved partner with sign: [-x1, x0, -x3, x2, ...]
+    fwd = jnp.roll(xf, -1, axis=-1)   # lane i <- x[i+1]
+    bwd = jnp.roll(xf, 1, axis=-1)    # lane i <- x[i-1]
+    lane = jnp.arange(dim) % 2 == 0
+    swapped = jnp.where(lane, -fwd, bwd)
+    out = xf * cos + swapped * sin
     return out.astype(orig_dtype)

@@ -85,3 +85,45 @@ def test_flash_backward_via_chunked(rng):
                      argnums=(0, 1, 2))(qj, kj, vj)
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_fused_rope_matches(rng):
+    """Fused-RoPE flash kernel == apply_rope + flash (interpret mode)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from mss_tf_locoformer_tpu.ops.pallas.flash_attention import flash_attention
+    from mss_tf_locoformer_tpu.ops.rope import apply_rope
+
+    q = rng.standard_normal((3, 2, 70, 24)).astype(np.float32)
+    k = rng.standard_normal((3, 2, 70, 24)).astype(np.float32)
+    v = rng.standard_normal((3, 2, 70, 24)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(flash_attention(
+            jnp.asarray(apply_rope(q)), jnp.asarray(apply_rope(k)),
+            jnp.asarray(v)))
+        got = np.asarray(flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_fused_rope_grad(rng):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from mss_tf_locoformer_tpu.ops.pallas.flash_attention import flash_attention
+    from mss_tf_locoformer_tpu.ops.attention import _chunked_attention
+    from mss_tf_locoformer_tpu.ops.rope import apply_rope
+
+    q = rng.standard_normal((2, 40, 16)).astype(np.float32)
+
+    def ref(a):
+        return jnp.sum(_chunked_attention(apply_rope(a), apply_rope(a), a,
+                                          1 << 30) ** 2)
+
+    def fused(a):
+        return jnp.sum(flash_attention(a, a, a, True) ** 2)
+
+    g_ref = np.asarray(jax.grad(ref)(jnp.asarray(q)))
+    with pltpu.force_tpu_interpret_mode():
+        g_fus = np.asarray(jax.grad(fused)(jnp.asarray(q)))
+    np.testing.assert_allclose(g_fus, g_ref, atol=1e-4, rtol=1e-3)
