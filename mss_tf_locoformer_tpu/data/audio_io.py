@@ -57,6 +57,11 @@ def _load_native():
         lib.wav_write.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
                                   ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
                                   ctypes.c_int32]
+        lib.wav_scan_meanabs.restype = ctypes.c_int64
+        lib.wav_scan_meanabs.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                         ctypes.c_int64,
+                                         ctypes.POINTER(ctypes.c_double),
+                                         ctypes.c_int64]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -231,3 +236,25 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     from scipy.signal import resample_poly
     g = gcd(orig_sr, target_sr)
     return resample_poly(audio, target_sr // g, orig_sr // g, axis=0).astype(np.float32)
+
+
+def scan_mean_abs(path: str, chunk_frames: int, hop_frames: int
+                  ) -> Optional[np.ndarray]:
+    """Per-chunk mean |sample| (over frames and channels) at offsets
+    ``i * hop_frames``, windows zero-padded past EOF — one streaming pass in
+    the native engine.  Returns None when the native library is unavailable
+    or the file isn't a supported WAV (callers fall back to per-chunk reads).
+    """
+    lib = _load_native()
+    if lib is None or not str(path).lower().endswith(".wav"):
+        return None
+    meta = info(path)
+    total = meta.frames
+    n_chunks = 1 if total <= chunk_frames else 1 + (total - chunk_frames) // hop_frames
+    out = np.zeros(n_chunks, dtype=np.float64)
+    rc = lib.wav_scan_meanabs(str(path).encode(), chunk_frames, hop_frames,
+                              out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                              n_chunks)
+    if rc < 0:
+        return None
+    return out[:rc]

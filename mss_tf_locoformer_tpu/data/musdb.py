@@ -274,10 +274,40 @@ class MUSDBDataset:
                 offsets = [0]
             else:
                 offsets = list(range(0, track.length - frames + 1, hop)) or [0]
+            loud = self._scan_loudness(track, frames, hop, len(offsets))
+            if loud is not None:  # native streaming scan (one pass per stem)
+                for off, ok in zip(offsets, loud):
+                    if ok:
+                        chunks.append((idx, off))
+                continue
             for off in offsets:
                 if self._passes_loudness(self._load_chunk(track, off)):
                     chunks.append((idx, off))
         return chunks or [(i, 0) for i in range(len(self.track_infos))]
+
+    def _scan_loudness(self, track: TrackInfo, frames: int, hop: int,
+                       n_offsets: int) -> Optional[List[bool]]:
+        """Per-offset pass/fail via the native single-pass scanner
+        (``native/audio_io.cpp: wav_scan_meanabs``).  None -> caller falls
+        back to per-chunk reads (non-WAV stems, sr mismatch, or no native
+        lib).  Matches ``_passes_loudness``: max over source stems (mixture
+        as fallback) >= ``min_loudness``."""
+        if self.min_loudness <= 0:
+            return [True] * n_offsets
+        if track.sample_rate != self.sample_rate:
+            return None  # python path measures after resampling
+        paths = [p for s, p in track.source_paths.items()
+                 if s in self.sources and p is not None and p.exists()]
+        if not paths:
+            paths = [track.mixture_path]
+        best = None
+        for p in paths:
+            scan = audio_io.scan_mean_abs(str(p), frames, hop)
+            if scan is None or len(scan) < n_offsets:
+                return None
+            best = scan[:n_offsets] if best is None \
+                else np.maximum(best, scan[:n_offsets])
+        return [bool(v >= self.min_loudness) for v in best]
 
     def _desired_frames_for_sr(self, sr: int) -> Optional[int]:
         if self.segment_length is None:

@@ -102,6 +102,7 @@ class BSLocoformerSeparator(nn.Module):
     conv1d_kernel: int = 4
     conv1d_shift: int = 1
     dropout: float = 0.0
+    fused_ffn: bool = False
     sample_rate: int = 44100
     stft_size: int = 2048
     eps: float = 1.0e-5
@@ -148,7 +149,7 @@ class BSLocoformerSeparator(nn.Module):
                 use_rope=(self.pos_enc == "rope"),
                 ffn_type=self.ffn_type, ffn_hidden_dim=self.ffn_hidden_dim,
                 conv1d_kernel=self.conv1d_kernel, conv1d_shift=self.conv1d_shift,
-                dropout=self.dropout, eps=self.eps,
+                dropout=self.dropout, fused_ffn=self.fused_ffn, eps=self.eps,
                 dtype=self.precision.compute_dtype,
                 name=f"blocks_{i}")(h, deterministic=deterministic)
         h = h.astype(jnp.float32)

@@ -216,4 +216,76 @@ int wav_write(const char* path, const float* data, int64_t frames,
   return rc;
 }
 
+// Streaming loudness scan for chunk-index building: one pass over the file
+// computing the mean |sample| (over frames AND channels) of every chunk
+// window [i*hop, i*hop + chunk).  Windows are zero-padded past EOF (the
+// mean always divides by chunk*channels), matching the padded chunks the
+// python loader produces for short tracks.  Replaces per-chunk re-reads of
+// 50%-overlapped windows (the whole corpus read ~2x per stem) with a single
+// sequential read.  Returns the number of chunks written, negative on error.
+int64_t wav_scan_meanabs(const char* path, int64_t chunk_frames,
+                         int64_t hop_frames, double* out,
+                         int64_t max_chunks) {
+  if (chunk_frames <= 0 || hop_frames <= 0 || max_chunks <= 0) return -6;
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo info;
+  if (!read_header(f, &info)) { std::fclose(f); return -2; }
+  const int bytes_per = info.bits / 8;
+  const int frame_bytes = bytes_per * info.channels;
+  const int64_t total = info.data_bytes / frame_bytes;
+  if (std::fseek(f, info.data_offset, SEEK_SET) != 0) { std::fclose(f); return -3; }
+
+  int64_t n_chunks = total <= chunk_frames
+      ? 1 : 1 + (total - chunk_frames) / hop_frames;
+  if (n_chunks > max_chunks) n_chunks = max_chunks;
+
+  // prefix[i] = sum of |x| over frames [0, i) across channels
+  double* prefix = (double*)std::malloc(sizeof(double) * (total + 1));
+  if (!prefix) { std::fclose(f); return -4; }
+  prefix[0] = 0.0;
+
+  const int64_t BLK = 1 << 16;  // frames per read
+  unsigned char* buf = (unsigned char*)std::malloc(BLK * frame_bytes);
+  if (!buf) { std::free(prefix); std::fclose(f); return -4; }
+  int64_t frame = 0;
+  bool bad_fmt = false;
+  while (frame < total) {
+    int64_t nthis = total - frame < BLK ? total - frame : BLK;
+    int64_t got = (int64_t)std::fread(buf, frame_bytes, nthis, f) ;
+    if (got <= 0) break;
+    for (int64_t i = 0; i < got; i++) {
+      double s = 0.0;
+      const unsigned char* p = buf + i * frame_bytes;
+      for (int c = 0; c < info.channels; c++, p += bytes_per) {
+        float v;
+        if (info.format == 3 && info.bits == 32) v = cvt32f(p);
+        else if (info.format == 3 && info.bits == 64) v = cvt64f(p);
+        else if (info.bits == 16) v = cvt16(p);
+        else if (info.bits == 24) v = cvt24(p);
+        else if (info.bits == 32) v = cvt32i(p);
+        else { bad_fmt = true; v = 0.0f; }
+        s += v < 0 ? -(double)v : (double)v;
+      }
+      prefix[frame + i + 1] = prefix[frame + i] + s;
+    }
+    frame += got;
+  }
+  std::fclose(f);
+  if (bad_fmt) { std::free(prefix); std::free(buf); return -5; }
+  for (int64_t i = frame; i < total; i++) prefix[i + 1] = prefix[i];
+
+  const double denom = (double)chunk_frames * info.channels;
+  for (int64_t i = 0; i < n_chunks; i++) {
+    int64_t a = i * hop_frames;
+    int64_t b = a + chunk_frames;
+    if (a > total) a = total;
+    if (b > total) b = total;
+    out[i] = (prefix[b] - prefix[a]) / denom;
+  }
+  std::free(prefix);
+  std::free(buf);
+  return n_chunks;
+}
+
 }  // extern "C"

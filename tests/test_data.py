@@ -169,3 +169,30 @@ def test_simple_audio_dataset(musdb_root):
     assert len(ds) == 2 * 5
     item = ds[0]
     assert item["audio"].ndim == 2
+
+
+def test_native_scan_matches_python_fallback(musdb_root, rng, monkeypatch):
+    """Chunk index from the native single-pass loudness scanner equals the
+    per-chunk-read fallback, including quiet-chunk rejection."""
+    # make one track with a silent middle in all stems
+    d = musdb_root / "train" / "track0"
+    n = SR * 4
+    for s in STEMS:
+        x = (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+        x[SR:3 * SR] = 0.0
+        audio_io.write(str(d / f"{s}.wav"), x, SR, bits=16)
+    audio_io.write(str(d / "mixture.wav"),
+                   np.zeros((n, 2), np.float32), SR, bits=16)
+
+    kw = dict(subset="train", sample_rate=SR, segment_length=SR,
+              sources=list(STEMS), verbose=False, precompute_chunks=True,
+              min_loudness=1e-3, metadata_cache=False)
+    ds_fast = MUSDBDataset(str(musdb_root), **kw)
+    idx_fast = list(ds_fast._chunk_index)
+
+    monkeypatch.setattr(audio_io, "scan_mean_abs", lambda *a, **k: None)
+    ds_slow = MUSDBDataset(str(musdb_root), **kw)
+    assert idx_fast == list(ds_slow._chunk_index)
+    # the silent stretch must actually reject some offsets
+    n_total = sum(1 + (SR * 4 + t * 317 - SR) // (SR // 2) for t in range(3))
+    assert len(idx_fast) < n_total
