@@ -106,3 +106,36 @@ def test_separate_audio_end_to_end(tmp_path, rng):
         assert out.exists()
         data, out_sr = audio_io.read(str(out))
         assert out_sr == sr and data.shape == (sr * 2, 2)
+
+
+class TestSTOI:
+    """Behavioral properties (no pystoi in the image for exact parity):
+    identity ~ 1, monotonic in SNR, noise-only low."""
+
+    def _speechlike(self, rng, n=30000):
+        # broadband amplitude-modulated noise: energy in every 1/3-octave
+        # band (pure tones leave most bands noise-only, which STOI — like
+        # the canonical implementation — scores near zero)
+        t = np.arange(n) / 10000.0
+        env = 0.5 * (1 + np.sin(2 * np.pi * 4 * t))
+        return (env * rng.standard_normal(n)).astype(np.float32)
+
+    def test_identity_is_one(self, rng):
+        from mss_tf_locoformer_tpu.eval.stoi import compute_stoi
+        x = self._speechlike(rng)
+        assert compute_stoi(x, x, 10000) > 0.99
+
+    def test_monotonic_in_snr(self, rng):
+        from mss_tf_locoformer_tpu.eval.stoi import compute_stoi
+        x = self._speechlike(rng)
+        noise = rng.standard_normal(len(x)).astype(np.float32)
+        scores = [compute_stoi(x, x + g * noise, 10000) for g in (0.05, 0.3, 1.5)]
+        assert scores[0] > scores[1] > scores[2]
+        assert scores[0] > 0.85 and scores[2] < 0.65
+
+    def test_resampled_input(self, rng):
+        from mss_tf_locoformer_tpu.eval.stoi import compute_stoi
+        x = self._speechlike(rng, n=48000)
+        s = compute_stoi(x, x + 0.1 * rng.standard_normal(len(x)).astype(np.float32),
+                         16000)
+        assert 0.0 < s <= 1.0
