@@ -94,6 +94,8 @@ class ModelConfig:
     flash_attention: bool = False  # on TPU: selects the Pallas flash kernel
     fused_stft: bool = False  # Pallas fused framing+window+rDFT STFT/iSTFT
     fused_ffn: bool = False   # Pallas fused conv-SwiGLU-deconv FFN kernel
+    remat_blocks: bool = False  # rematerialize each TF block in backward
+    # (set by the trainer from training.gradient_checkpointing)
     attention_dim: int = 128
     pos_enc: str = "rope"  # {"rope", "nope"}
     # FFN

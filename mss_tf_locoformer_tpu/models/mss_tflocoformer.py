@@ -66,17 +66,23 @@ class TFLocoformerMSS(nn.Module):
 
         x = self.encode(x)                                       # fp32 island
         x = x.astype(self.precision.compute_dtype)
+        # per-block remat: backward recomputes each block's activations
+        # instead of storing them (the real version of the reference's no-op
+        # gradient_checkpointing flag, ``training/train.py:336-340``)
+        block_cls = (nn.remat(TFLocoformerBlock, static_argnums=(2,))
+                     if cfg.remat_blocks else TFLocoformerBlock)
         for i in range(cfg.n_layers):
-            x = TFLocoformerBlock(
+            x = block_cls(
                 emb_dim=cfg.emb_dim, norm_type=cfg.norm_type,
                 num_groups=cfg.num_groups, tf_order=cfg.tf_order,
                 n_heads=cfg.n_heads, flash_attention=cfg.flash_attention,
                 attention_dim=cfg.attention_dim, use_rope=(cfg.pos_enc == "rope"),
                 ffn_type=cfg.ffn_type, ffn_hidden_dim=cfg.ffn_hidden_dim,
                 conv1d_kernel=cfg.conv1d_kernel, conv1d_shift=cfg.conv1d_shift,
-                dropout=cfg.dropout, fused_ffn=cfg.fused_ffn, eps=cfg.eps,
+                dropout=cfg.dropout, fused_ffn=cfg.fused_ffn,
+                remat_ffn=cfg.remat_blocks, eps=cfg.eps,
                 dtype=self.precision.compute_dtype,
-                name=f"blocks_{i}")(x, deterministic=deterministic)
+                name=f"blocks_{i}")(x, deterministic)
         x = self.decode(x.astype(jnp.float32))                   # fp32 island
 
         # [B, T, F, S*2] -> complex [B, S, F, N]; channel index = 2*s + (0:re, 1:im)

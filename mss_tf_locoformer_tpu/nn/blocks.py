@@ -44,6 +44,9 @@ class LocoformerBlock(nn.Module):
     conv1d_shift: int = 1
     dropout: float = 0.0
     fused_ffn: bool = False
+    remat_ffn: bool = False  # rematerialize each FFN in backward (nested
+    # under per-block remat: bounds the 2*inner-wide conv intermediates to
+    # one live FFN at a time instead of all four per block)
     eps: float = 1.0e-5
     dtype: jnp.dtype = jnp.float32
 
@@ -65,9 +68,11 @@ class LocoformerBlock(nn.Module):
             dims = (self.ffn_hidden_dim,)
 
         ffns = [
-            _FFN[t](self.emb_dim, d, self.conv1d_kernel, self.conv1d_shift,
-                    dropout=self.dropout, use_fused=self.fused_ffn,
-                    dtype=self.dtype, name=f"ffn_{i}")
+            (nn.remat(_FFN[t], static_argnums=(2,)) if self.remat_ffn
+             else _FFN[t])(
+                self.emb_dim, d, self.conv1d_kernel, self.conv1d_shift,
+                dropout=self.dropout, use_fused=self.fused_ffn,
+                dtype=self.dtype, name=f"ffn_{i}")
             for i, (t, d) in enumerate(zip(types, dims))
         ]
         ffn_norms = [self._norm(f"ffn_norm_{i}") for i in range(len(ffns))]
@@ -75,7 +80,7 @@ class LocoformerBlock(nn.Module):
         if macaron:  # pre-attention FFN (module index -1 == last)
             residual = x
             out = ffn_norms[-1](x)
-            out = ffns[-1](out, deterministic=deterministic)
+            out = ffns[-1](out, deterministic)
             x = out + residual
 
         residual = x
@@ -90,7 +95,7 @@ class LocoformerBlock(nn.Module):
 
         residual = x
         out = ffn_norms[0](x)
-        out = ffns[0](out, deterministic=deterministic)
+        out = ffns[0](out, deterministic)
         return out + residual
 
 
@@ -109,6 +114,7 @@ class TFLocoformerBlock(nn.Module):
     conv1d_shift: int = 1
     dropout: float = 0.0
     fused_ffn: bool = False
+    remat_ffn: bool = False
     eps: float = 1.0e-5
     dtype: jnp.dtype = jnp.float32
 
@@ -122,7 +128,8 @@ class TFLocoformerBlock(nn.Module):
             use_rope=self.use_rope, ffn_type=self.ffn_type,
             ffn_hidden_dim=self.ffn_hidden_dim, conv1d_kernel=self.conv1d_kernel,
             conv1d_shift=self.conv1d_shift, dropout=self.dropout,
-            fused_ffn=self.fused_ffn, eps=self.eps, dtype=self.dtype,
+            fused_ffn=self.fused_ffn, remat_ffn=self.remat_ffn,
+            eps=self.eps, dtype=self.dtype,
         )
         freq_path = LocoformerBlock(**kwargs, name="freq_path")
         frame_path = LocoformerBlock(**kwargs, name="frame_path")

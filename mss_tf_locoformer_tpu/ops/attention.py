@@ -61,7 +61,12 @@ def _chunked_attention(q, k, v, max_score_bytes: int) -> jnp.ndarray:
     if padded != rows:
         pad = [(0, padded - rows), (0, 0), (0, 0)]
         qf, kf, vf = (jnp.pad(a, pad) for a in (qf, kf, vf))
-    out = jax.lax.map(lambda t: _xla_attention(*t), (qf, kf, vf), batch_size=group)
+    # jax.checkpoint on the group body: without it, the scan underlying
+    # lax.map saves EVERY group's fp32 scores as residuals for the backward,
+    # re-materializing exactly the rows*L*L tensor this function exists to
+    # bound (measured: a 1-sample base-config train step asked for 30 GB HBM)
+    body = jax.checkpoint(lambda t: _xla_attention(*t))
+    out = jax.lax.map(body, (qf, kf, vf), batch_size=group)
     return out[:rows].reshape(*lead, L, D)
 
 

@@ -187,8 +187,16 @@ def _flash_fwd(q, k, v, rope, theta):
     return _flash_forward(q, k, v, rope, theta), (q, k, v)
 
 
+_BWD_MAX_SCORE_BYTES = 128 * 1024 * 1024
+# The backward recompute runs through the chunked path whose per-iteration
+# scores get several live copies during the transpose (scores, sub, exp,
+# cotangents): a 1 GiB forward budget ballooned to multi-GiB live in bwd
+# (measured 1.5 GiB fp32 + 770 MiB bf16 single allocations at MSS shapes).
+# 128 MiB keeps the whole attention backward under ~1 GiB live.
+
+
 def _flash_bwd(rope, theta, residuals, g):
-    from ..attention import _chunked_attention, _DEFAULT_MAX_SCORE_BYTES
+    from ..attention import _chunked_attention
     from ..rope import apply_rope
     q, k, v = residuals
 
@@ -196,7 +204,7 @@ def _flash_bwd(rope, theta, residuals, g):
         if rope:
             a = apply_rope(a, theta).astype(a.dtype)
             b = apply_rope(b, theta).astype(b.dtype)
-        return _chunked_attention(a, b, c, _DEFAULT_MAX_SCORE_BYTES)
+        return _chunked_attention(a, b, c, _BWD_MAX_SCORE_BYTES)
 
     _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)

@@ -64,7 +64,11 @@ class Trainer:
 
         self.precision = precision_from_amp(config.training.use_amp,
                                             config.training.amp_dtype)
-        self.model = TFLocoformerMSS(config.model, precision=self.precision)
+        model_cfg = config.model
+        if config.training.gradient_checkpointing and not model_cfg.remat_blocks:
+            import dataclasses
+            model_cfg = dataclasses.replace(model_cfg, remat_blocks=True)
+        self.model = TFLocoformerMSS(model_cfg, precision=self.precision)
 
         tcfg = config.training
         self.tx = make_optimizer(tcfg)

@@ -52,8 +52,10 @@ def make_train_step(model, cfg: Config, tx) -> Callable:
     """
     accum = max(1, cfg.training.gradient_accumulation_steps)
     loss_fn = functools.partial(_loss_fn, model, cfg.loss)
-    if cfg.training.gradient_checkpointing:
-        loss_fn = jax.checkpoint(loss_fn, static_argnums=(6,))
+    # gradient_checkpointing is realized as PER-BLOCK remat inside the model
+    # (the trainer maps the flag onto ModelConfig.remat_blocks); a whole-loss
+    # jax.checkpoint here would save nothing — the rematerialized forward
+    # still has to keep every intermediate alive during the backward.
     grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

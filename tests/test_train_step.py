@@ -125,3 +125,29 @@ def test_lr_controller_warmup():
     assert ctl.lr_at(0) == 0.0
     assert abs(ctl.lr_at(50) - 5e-4) < 1e-9
     assert ctl.lr_at(200) == 1e-3
+
+
+def test_remat_blocks_grad_matches(rng):
+    """Per-block remat changes memory, not math: grads identical."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from mss_tf_locoformer_tpu.core.config import ModelConfig
+    from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+
+    kw = dict(n_fft=256, hop_length=128, n_layers=2, emb_dim=16, num_groups=4,
+              n_heads=2, attention_dim=16, ffn_type="swiglu_conv1d",
+              ffn_hidden_dim=32, dropout=0.0)
+    x = rng.standard_normal((1, 2000)).astype(np.float32)
+    m0 = TFLocoformerMSS(ModelConfig(**kw))
+    params = m0.init(jax.random.PRNGKey(0), x)
+    m1 = TFLocoformerMSS(ModelConfig(**kw, remat_blocks=True))
+
+    def loss(m):
+        return lambda p: sum(jnp.sum(v ** 2) for v in m.apply(p, x).values())
+
+    g0 = jax.grad(loss(m0))(params)
+    g1 = jax.grad(loss(m1))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
