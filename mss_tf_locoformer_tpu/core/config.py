@@ -96,6 +96,7 @@ class ModelConfig:
     fused_ffn: bool = False   # Pallas fused conv-SwiGLU-deconv FFN kernel
     remat_blocks: bool = False  # rematerialize each TF block in backward
     # (set by the trainer from training.gradient_checkpointing)
+    remat_ffn: Optional[bool] = None  # per-FFN remat; None = follow remat_blocks
     attention_dim: int = 128
     pos_enc: str = "rope"  # {"rope", "nope"}
     # FFN

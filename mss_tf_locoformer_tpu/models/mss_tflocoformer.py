@@ -80,7 +80,8 @@ class TFLocoformerMSS(nn.Module):
                 ffn_type=cfg.ffn_type, ffn_hidden_dim=cfg.ffn_hidden_dim,
                 conv1d_kernel=cfg.conv1d_kernel, conv1d_shift=cfg.conv1d_shift,
                 dropout=cfg.dropout, fused_ffn=cfg.fused_ffn,
-                remat_ffn=cfg.remat_blocks, eps=cfg.eps,
+                remat_ffn=(cfg.remat_blocks if cfg.remat_ffn is None
+                           else cfg.remat_ffn), eps=cfg.eps,
                 dtype=self.precision.compute_dtype,
                 name=f"blocks_{i}")(x, deterministic)
         x = self.decode(x.astype(jnp.float32))                   # fp32 island

@@ -188,26 +188,124 @@ def _flash_fwd(q, k, v, rope, theta):
 
 
 _BWD_MAX_SCORE_BYTES = 128 * 1024 * 1024
-# The backward recompute runs through the chunked path whose per-iteration
-# scores get several live copies during the transpose (scores, sub, exp,
-# cotangents): a 1 GiB forward budget ballooned to multi-GiB live in bwd
-# (measured 1.5 GiB fp32 + 770 MiB bf16 single allocations at MSS shapes).
-# 128 MiB keeps the whole attention backward under ~1 GiB live.
+# Fallback-path budget: the chunked recompute's per-iteration scores get
+# several live copies during the transpose; 128 MiB keeps the whole
+# attention backward under ~1 GiB live.
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                l_actual: int, blk_q: int, group: int):
+    """Flash backward, transposed layout.  Per (row, q-block): recompute
+    P = softmax(S^T) in VMEM (no stats saved from forward), then
+    dV^T = dO^T P^T-contraction, dS = P*(dP - colsum(P*dP)),
+    dQ^T = K^T-contraction-dS, dK^T accumulates Q^T-contraction-dS."""
+    lp = q_ref.shape[-1]
+    masked = lp != l_actual
+    for gi in range(group):
+        k_t = k_ref[gi]   # [Dp, Lp]
+        v_t = v_ref[gi]
+        dk_acc = jnp.zeros(k_t.shape, jnp.float32)
+        dv_acc = jnp.zeros(v_t.shape, jnp.float32)
+        for qb in range(lp // blk_q):
+            sl = slice(qb * blk_q, (qb + 1) * blk_q)
+            q_t = q_ref[gi, :, sl]    # [Dp, BLK] (pre-scaled)
+            do_t = do_ref[gi, :, sl]  # [Dp, BLK]
+            s = jax.lax.dot_general(k_t, q_t, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if masked:
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                s = jnp.where(row < l_actual, s, -1e30)
+            m = jnp.max(s, axis=0, keepdims=True)
+            p = jnp.exp(s - m)
+            p = p / jnp.sum(p, axis=0, keepdims=True)        # [Lp, BLK] fp32
+            dp = jax.lax.dot_general(v_t, do_t, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(p * dp, axis=0, keepdims=True))
+            ds_c = ds.astype(k_t.dtype)
+            p_c = p.astype(v_t.dtype)
+            dq_ref[gi, :, sl] = jax.lax.dot_general(
+                k_t, ds_c, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+            dk_acc += jax.lax.dot_general(
+                q_t, ds_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dv_acc += jax.lax.dot_general(
+                do_t, p_c, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dk_ref[gi] = dk_acc.astype(dk_ref.dtype)
+        dv_ref[gi] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_backward_pallas(q, k, v, g, rope, theta):
+    """dq, dk, dv for ``_flash_forward`` via the Pallas backward kernel.
+
+    RoPE handling on the XLA side: forward computes attn(R(q)s, R(k), v);
+    the kernel differentiates w.r.t. the ROTATED inputs, then cotangents are
+    back-rotated (R is orthogonal: dx = R^{-1}(dx_rot), i.e. RoPE at -theta).
+    """
+    from ..rope import apply_rope
+    *lead, L, D = q.shape
+    n = math.prod(lead) if lead else 1
+    scale = 1.0 / math.sqrt(D)
+    lp = _round_up(L, LANE)
+    dp = _round_up(D, SUBLANE)
+    blk_q = min(_pick_blk_q(lp), 512)
+    group = max(1, _pick_group(lp, dp, blk_q, jnp.dtype(q.dtype).itemsize) // 2)
+    n_pad = _round_up(n, group)
+
+    qr = apply_rope(q, theta).astype(q.dtype) if rope else q
+    kr = apply_rope(k, theta).astype(k.dtype) if rope else k
+
+    def prep(x, pre_scale=1.0):
+        x = x.reshape(n, L, D)
+        if pre_scale != 1.0:
+            x = x * jnp.asarray(pre_scale, x.dtype)
+        x = jnp.swapaxes(x, -1, -2)
+        return jnp.pad(x, ((0, n_pad - n), (0, dp - D), (0, lp - L)))
+
+    qp, kp, vp, gp = prep(qr, scale), prep(kr), prep(v), prep(g)
+    spec = pl.BlockSpec((group, dp, lp), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((n_pad, dp, lp), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, l_actual=L, blk_q=blk_q, group=group),
+        grid=(n_pad // group,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(oshape, oshape, oshape),
+    )(qp, kp, vp, gp)
+
+    def post(x, post_scale=1.0):
+        x = jnp.swapaxes(x[:n, :D, :L], -1, -2).reshape(*lead, L, D)
+        if post_scale != 1.0:
+            x = x * jnp.asarray(post_scale, x.dtype)
+        return x
+
+    dq = post(dq, scale)
+    dk = post(dk)
+    dv = post(dv)
+    if rope:  # back-rotate the q/k cotangents (orthogonal transpose)
+        dq = apply_rope(dq, theta, inverse=True).astype(q.dtype)
+        dk = apply_rope(dk, theta, inverse=True).astype(k.dtype)
+    return dq, dk, dv
 
 
 def _flash_bwd(rope, theta, residuals, g):
-    from ..attention import _chunked_attention
-    from ..rope import apply_rope
     q, k, v = residuals
+    try:
+        return _flash_backward_pallas(q, k, v, g, rope, theta)
+    except Exception:
+        from ..attention import _chunked_attention
+        from ..rope import apply_rope
 
-    def ref(a, b, c):
-        if rope:
-            a = apply_rope(a, theta).astype(a.dtype)
-            b = apply_rope(b, theta).astype(b.dtype)
-        return _chunked_attention(a, b, c, _BWD_MAX_SCORE_BYTES)
+        def ref(a, b, c):
+            if rope:
+                a = apply_rope(a, theta).astype(a.dtype)
+                b = apply_rope(b, theta).astype(b.dtype)
+            return _chunked_attention(a, b, c, _BWD_MAX_SCORE_BYTES)
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+        _, vjp = jax.vjp(ref, q, k, v)
+        return vjp(g)
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -61,14 +61,19 @@ def rope_tables(seq_len: int, dim: int, theta: float = 10000.0):
     return jnp.asarray(cos), jnp.asarray(sin)
 
 
-def apply_rope(x: jnp.ndarray, theta: float = 10000.0) -> jnp.ndarray:
+def apply_rope(x: jnp.ndarray, theta: float = 10000.0,
+               inverse: bool = False) -> jnp.ndarray:
     """Rotate ``x [..., L, D]`` positions along axis -2, pairs along axis -1.
 
     Equivalent to ``RotaryEmbedding(D).rotate_queries_or_keys(x)`` of
     rotary-embedding-torch (interleaved pairs, full-dim rotation, fp32).
+    ``inverse=True`` applies the transpose rotation (angle negated) — used to
+    back-rotate cotangents, since each pair rotation is orthogonal.
     """
     seq_len, dim = x.shape[-2], x.shape[-1]
     cos, sin = rope_tables(seq_len, dim, theta)
+    if inverse:
+        sin = -sin
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     # interleaved partner with sign: [-x1, x0, -x3, x2, ...]

@@ -127,3 +127,41 @@ def test_flash_fused_rope_grad(rng):
     with pltpu.force_tpu_interpret_mode():
         g_fus = np.asarray(jax.grad(fused)(jnp.asarray(q)))
     np.testing.assert_allclose(g_fus, g_ref, atol=1e-4, rtol=1e-3)
+
+
+def test_flash_pallas_backward_matches_chunked(rng):
+    """Pallas backward kernel == chunked-XLA recompute gradients."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from mss_tf_locoformer_tpu.ops.pallas import flash_attention as FA
+    from mss_tf_locoformer_tpu.ops.attention import _chunked_attention
+    from mss_tf_locoformer_tpu.ops.rope import apply_rope
+
+    for rope in (False, True):
+        q = jnp.asarray(rng.standard_normal((2, 3, 70, 24)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 3, 70, 24)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 3, 70, 24)).astype(np.float32))
+        ct = jnp.asarray(rng.standard_normal((2, 3, 70, 24)).astype(np.float32))
+
+        def ref(a, b, c):
+            if rope:
+                a = apply_rope(a)
+                b = apply_rope(b)
+            return _chunked_attention(a, b, c, 1 << 30)
+
+        _, vjp = jax.vjp(ref, q, k, v)
+        want = vjp(ct)
+        with pltpu.force_tpu_interpret_mode():
+            got = FA._flash_backward_pallas(q, k, v, ct, rope, 10000.0)
+        for name, a, b in zip("qkv", want, got):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-4, rtol=1e-3,
+                                       err_msg=f"d{name} rope={rope}")
+
+
+def test_rope_inverse_roundtrip(rng):
+    from mss_tf_locoformer_tpu.ops.rope import apply_rope
+    x = rng.standard_normal((3, 50, 24)).astype(np.float32)
+    y = apply_rope(apply_rope(x), inverse=True)
+    np.testing.assert_allclose(np.asarray(y), x, atol=1e-5)
