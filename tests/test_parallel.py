@@ -89,3 +89,36 @@ def test_sharded_matches_single_device(rng):
     # reduction, amplified to ~lr scale by AdamW's first-step normalizer
     for a, b_ in zip(jax.tree.leaves(s_single.params), jax.tree.leaves(s_shard.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+
+def test_chunk_parallel_inference_matches_single_device(rng):
+    """SeparationEngine with a dp-sharded chunk batch == unsharded engine
+    (chunk-parallel inference, the TPU answer to full-track forwards)."""
+    import jax
+    from mss_tf_locoformer_tpu.core.config import ModelConfig
+    from mss_tf_locoformer_tpu.infer.overlap_add import SeparationEngine
+    from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+    from mss_tf_locoformer_tpu.parallel import mesh as M
+
+    cfg = ModelConfig(n_fft=256, hop_length=128, n_layers=1, emb_dim=16,
+                      num_groups=4, n_heads=2, attention_dim=16,
+                      ffn_type="swiglu_conv1d", ffn_hidden_dim=32)
+    model = TFLocoformerMSS(cfg)
+    chunk = 2000
+    audio = rng.standard_normal(6 * chunk + 123).astype(np.float32) * 0.2
+    params = model.init(jax.random.PRNGKey(0),
+                        np.zeros((1, chunk), np.float32))
+
+    def apply_fn(mixture):
+        return model.apply(params, mixture)
+
+    plain = SeparationEngine(apply_fn, chunk_samples=chunk, overlap=400,
+                             batch_size=8)
+    mesh = M.make_mesh(jax.devices()[:8], dp=8, mp=1)
+    sharded = SeparationEngine(apply_fn, chunk_samples=chunk, overlap=400,
+                               batch_size=8, sharding=M.batch_sharding(mesh))
+    out_a = plain(audio)
+    out_b = sharded(audio)
+    assert set(out_a) == set(out_b)
+    for k in out_a:
+        np.testing.assert_allclose(out_b[k], out_a[k], atol=1e-5)
