@@ -53,7 +53,8 @@ class TFLocoformerMSS(nn.Module):
         b = mixture.shape[0]
         original_length = mixture.shape[-1]
 
-        use_fused = cfg.fused_stft and fused.supports(
+        from ..ops.pallas import on_tpu
+        use_fused = cfg.fused_stft and on_tpu() and fused.supports(
             cfg.n_fft, cfg.hop_length, original_length)
         if use_fused:
             spec = fused.stft_pallas(mixture.astype(jnp.float32),

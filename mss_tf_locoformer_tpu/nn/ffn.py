@@ -75,7 +75,9 @@ class SwiGLUConvDeconv1d(nn.Module):
         seq_len = _pad_len(s2, k, shift)
         x = jnp.pad(x, ((0, 0), (diff_ks, seq_len - s2 - diff_ks), (0, 0)))
 
-        fused_ok = (self.use_fused and swiglu_ffn.supports(k, shift)
+        from ..ops.pallas import on_tpu
+        fused_ok = (self.use_fused and on_tpu()
+                    and swiglu_ffn.supports(k, shift)
                     and (deterministic or self.dropout == 0.0))
         cw = _ConvParams((self.dim_inner * 2, self.dim, k),
                          fan_in=self.dim * k, bias_dim=self.dim_inner * 2,

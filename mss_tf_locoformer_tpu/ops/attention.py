@@ -86,11 +86,15 @@ def dot_product_attention(
     kernel (flash backend only); non-flash callers must pre-rotate.
     """
     if backend == "flash":
-        try:
-            from .pallas.flash_attention import flash_attention
-            return flash_attention(q, k, v, fused_rope, rope_theta)
-        except Exception:
-            backend = "auto"
+        from .pallas import on_tpu
+        if not on_tpu():
+            backend = "auto"  # Pallas only lowers on TPU; fall back on CPU
+        else:
+            try:
+                from .pallas.flash_attention import flash_attention
+                return flash_attention(q, k, v, fused_rope, rope_theta)
+            except Exception:
+                backend = "auto"
     if fused_rope:  # fallback path: rotate explicitly
         from .rope import apply_rope
         q = apply_rope(q, rope_theta).astype(q.dtype)
