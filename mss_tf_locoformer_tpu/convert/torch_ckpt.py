@@ -45,10 +45,15 @@ def _rename(key: str):
     if m:
         i, path, rest = m.groups()
         return (f"blocks_{i}", path) + _rename_locoformer(rest)
-    # band-split module (BS-Locoformer)
+    # band-split module (BS-Locoformer): the reference separator holds one
+    # ``BandSplitModule`` attribute named ``band_split_module`` whose inner
+    # encoder ModuleList is *also* named ``band_split_module``
+    # (standalone/bslocoformer_separator.py:137,212-236).  Our flax model
+    # flattens both levels into top-level ``band_encoder_*``/``band_decoder_*``
+    # submodules, so the outer prefix is dropped entirely.
     m = re.fullmatch(r"band_split_module\.(.*)", key)
     if m:
-        return ("band_split_module",) + _rename_bandsplit(m.group(1))
+        return _rename_bandsplit(m.group(1))
     raise KeyError(f"Unrecognized torch key: {key}")
 
 
@@ -120,6 +125,18 @@ def params_to_state_dict(params: Mapping[str, Any]) -> Dict[str, np.ndarray]:
 
 def _unrename(path) -> str:
     parts = list(path)
+    # BS-Locoformer band modules: invert the prefix-drop of ``_rename``
+    # (reference nests both ModuleLists under the separator's
+    # ``band_split_module`` attribute).
+    m = re.fullmatch(r"band_(encoder|decoder)_(\d+)", parts[0])
+    if m:
+        kind, b = m.groups()
+        sub, p = parts[1], parts[2]
+        if kind == "encoder":
+            idx = {"norm": "0", "conv": "1"}[sub]
+            return f"band_split_module.band_split_module.{b}.{idx}.{p}"
+        idx = {"norm": "0", "conv_0": "1", "conv_1": "3", "conv_2": "4"}[sub]
+        return f"band_split_module.bandwise_decoding_module.{b}.{idx}.{p}"
     out = []
     for p in parts:
         m = re.fullmatch(r"blocks_(\d+)", p)

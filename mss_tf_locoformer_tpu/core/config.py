@@ -193,6 +193,11 @@ class DatasetConfig:
     max_chunk_attempts: int = 8
     rebuild_mixture: bool = True
     cache_dir: Optional[str] = None
+    # precomputed loudness-filtered chunk index (reference
+    # ``data/mss_dataset.py:284-346``): deterministic epoch coverage instead
+    # of random chunk sampling; hop defaults to segment_length in the dataset.
+    precompute_chunks: bool = False
+    chunk_hop: Optional[int] = None
 
     def __post_init__(self):
         object.__setattr__(self, "sources", tuple(self.sources))
@@ -251,6 +256,12 @@ class TrainingConfig:
     save_best: bool = True
     save_optimizer: bool = True
     val_interval: int = 1
+    # Validation runs on fixed-length chunks so one XLA program serves every
+    # track (the reference's full-track validation is the documented OOM
+    # hazard, ``training/train.py:175-239``).  None -> dataset segment_length
+    # (or 10 s if that is None too).  val_batch_size chunks per eval step.
+    val_segment_length: Optional[int] = None
+    val_batch_size: int = 4
     early_stopping: EarlyStoppingConfig = field(default_factory=EarlyStoppingConfig)
     log_interval: int = 50
     # jax.profiler trace window: capture `profile_steps` steps starting at

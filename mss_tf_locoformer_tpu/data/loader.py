@@ -72,19 +72,30 @@ class DataLoader:
         out: Dict[int, Any] = {}
         lock = threading.Lock()
         errors: list = []
+        stop = threading.Event()
+        # Backpressure: at most num_workers * prefetch_factor batches may be
+        # loaded-but-unconsumed.  Without this a slow consumer (validation
+        # pause, checkpoint write) would buffer the whole epoch in RAM.
+        capacity = max(self.num_workers * self.prefetch_factor,
+                       self.num_workers)
+        slots = threading.Semaphore(capacity)
 
         for bi, idxs in enumerate(batches):
             item_q.put((bi, idxs))
 
         def worker():
-            while True:
+            while not stop.is_set():
+                if not slots.acquire(timeout=0.1):
+                    continue  # full — re-check stop, then retry
                 try:
                     bi, idxs = item_q.get_nowait()
                 except queue.Empty:
+                    slots.release()
                     return
                 try:
                     batch = self.collate([self.dataset[int(i)] for i in idxs])
                 except Exception as e:  # surfaced on the consumer side
+                    slots.release()
                     with lock:
                         errors.append(e)
                     return
@@ -98,24 +109,28 @@ class DataLoader:
 
         next_bi = 0
         import time
-        while next_bi < len(batches):
-            with lock:
-                if errors:
-                    raise errors[0]
-                batch = out.pop(next_bi, None)
-            if batch is None:
-                if not any(t.is_alive() for t in threads):
-                    with lock:
-                        if errors:
-                            raise errors[0]
-                        batch = out.pop(next_bi, None)
-                    if batch is None:
-                        raise RuntimeError("DataLoader workers exited early")
-                else:
-                    time.sleep(0.002)
-                    continue
-            yield batch
-            next_bi += 1
+        try:
+            while next_bi < len(batches):
+                with lock:
+                    if errors:
+                        raise errors[0]
+                    batch = out.pop(next_bi, None)
+                if batch is None:
+                    if not any(t.is_alive() for t in threads):
+                        with lock:
+                            if errors:
+                                raise errors[0]
+                            batch = out.pop(next_bi, None)
+                        if batch is None:
+                            raise RuntimeError("DataLoader workers exited early")
+                    else:
+                        time.sleep(0.002)
+                        continue
+                slots.release()
+                yield batch
+                next_bi += 1
+        finally:
+            stop.set()  # unblock workers if the consumer abandons the epoch
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):

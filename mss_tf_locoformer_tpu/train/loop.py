@@ -125,6 +125,8 @@ class Trainer:
             max_chunk_attempts=dcfg.max_chunk_attempts,
             rebuild_mixture=dcfg.rebuild_mixture,
             metadata_cache=dcfg.cache_dir or True,
+            precompute_chunks=dcfg.precompute_chunks,
+            chunk_hop=dcfg.chunk_hop,
             verbose=self.verbose, seed=self.config.seed)
         val_ds = MUSDBDataset(
             dcfg.root_dir, subset="test", sample_rate=dcfg.sample_rate,
@@ -142,18 +144,25 @@ class Trainer:
 
     # -------------------------------------------------------------- epochs
 
+    def _host_batches(self, loader):
+        """Host-side prep: stereo->mono channel mean (numpy, cheap) so each
+        batch is device_put exactly once with the dp sharding — no
+        device->host round trip in the hot loop."""
+        sources = self.config.dataset.sources
+        for batch in iter(loader):
+            yield {"mixture": _mono(np.asarray(batch["mixture"])),
+                   **{k: _mono(np.asarray(batch[k]))
+                      for k in sources if k in batch}}
+
     def train_epoch(self, state, loader, epoch: int, rng):
         meter = AverageMeter()
         t0 = time.time()
         tcfg = self.config.training
-        sharding = self.batch_sharding
         for i, batch in enumerate(prefetch_to_device(
-                iter(loader), size=tcfg.prefetch_factor)):
-            mixture = _mono(np.asarray(batch["mixture"]))
-            targets = {k: _mono(np.asarray(batch[k]))
-                       for k in self.config.dataset.sources if k in batch}
-            mixture = jax.device_put(mixture, sharding)
-            targets = jax.tree.map(lambda x: jax.device_put(x, sharding), targets)
+                self._host_batches(loader), size=tcfg.prefetch_factor,
+                sharding=self.batch_sharding)):
+            mixture = batch.pop("mixture")  # already sharded on device
+            targets = batch
             lr = self.lr_ctl.lr_at(int(state.step))
             rng, sub = jax.random.split(rng)
             self.profiler.step_start(int(state.step))
@@ -171,13 +180,48 @@ class Trainer:
         return state, meter.avg, rng
 
     def validate(self, state, loader) -> float:
+        """Chunked validation: every track is cut into fixed-length
+        non-overlapping segments and scored in fixed-size groups, so at most
+        two XLA programs (full group + one ragged tail group) serve the whole
+        set regardless of track lengths — memory-bounded, no per-track-length
+        recompiles (the reference validates full tracks, its OOM hazard)."""
+        tcfg = self.config.training
+        seg = (tcfg.val_segment_length or self.config.dataset.segment_length
+               or 10 * self.config.dataset.sample_rate)
+        group = max(1, tcfg.val_batch_size)
         meter = AverageMeter()
+        buf_mix, buf_tgt = [], []
+
+        def flush():
+            if not buf_mix:
+                return
+            mixture = np.stack(buf_mix)
+            targets = {k: np.stack([t[k] for t in buf_tgt])
+                       for k in buf_tgt[0]}
+            ld = self.eval_step(state.params, mixture, targets)
+            meter.update(float(ld["total_loss"]), len(buf_mix))
+            buf_mix.clear()
+            buf_tgt.clear()
+
         for batch in iter(loader):
             mixture = _mono(np.asarray(batch["mixture"]))
             targets = {k: _mono(np.asarray(batch[k]))
                        for k in self.config.dataset.sources if k in batch}
-            ld = self.eval_step(state.params, mixture, targets)
-            meter.update(float(ld["total_loss"]), mixture.shape[0])
+            t = mixture.shape[-1]
+            n_chunks = max(1, t // seg)
+            for b in range(mixture.shape[0]):
+                for c in range(n_chunks):
+                    sl = slice(c * seg, (c + 1) * seg)
+                    mix_c = mixture[b, sl]
+                    if mix_c.shape[0] < seg:  # track shorter than one chunk
+                        mix_c = np.pad(mix_c, (0, seg - mix_c.shape[0]))
+                    buf_mix.append(mix_c)
+                    buf_tgt.append({k: np.pad(v[b, sl],
+                                              (0, seg - v[b, sl].shape[0]))
+                                    for k, v in targets.items()})
+                    if len(buf_mix) == group:
+                        flush()
+        flush()  # ragged tail group (one extra program shape at most)
         return meter.avg
 
     # ---------------------------------------------------------------- main

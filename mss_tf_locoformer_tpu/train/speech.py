@@ -34,8 +34,8 @@ from ..utils.common import AverageMeter, count_parameters, format_time, set_seed
 from ..utils.profiling import StepProfiler
 from .checkpoint import CheckpointManager
 from .schedule import EarlyStopping
-from .state import LRController, TrainState, init_state, make_optimizer, \
-    set_learning_rate
+from .state import LRController, TrainState, init_state, make_optimizer
+from .step import make_update_step
 
 __all__ = ["SpeechTrainer", "make_speech_step"]
 
@@ -68,7 +68,10 @@ def _criterion(cfg: SpeechConfig):
 
 
 def make_speech_step(module: TFLocoformerSeparator, cfg: SpeechConfig, tx):
-    """Jitted ``step(state, mixture [B,T], sources [B,S,T], lr, rng)``."""
+    """Jitted ``step(state, mixture [B,T], sources [B,S,T], lr, rng) ->
+    (state, loss_dict)`` sharing :func:`make_update_step` with the MSS
+    trainer: one clip (inside the optax chain), scan-based grad accumulation,
+    identical loss-dict contract."""
     n_fft, hop = cfg.stft.n_fft, cfg.stft.hop_length
     loss_of = _criterion(cfg)
 
@@ -78,28 +81,16 @@ def make_speech_step(module: TFLocoformerSeparator, cfg: SpeechConfig, tx):
         out = module.apply(params, spec, deterministic=not train,
                            rngs={"dropout": rng} if train else None)
         est = istft(jnp.swapaxes(out, -1, -2), n_fft, hop, length=t)  # [B,S,T]
-        return loss_of(est, sources)
+        loss = loss_of(est, sources)
+        return loss, {"total_loss": loss}
 
-    grad_fn = jax.value_and_grad(loss_fn)
-    clip = cfg.training.gradient_clip
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, mixture, sources, lr, rng):
-        loss, grads = grad_fn(state.params, mixture, sources, rng, True)
-        gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
-                             for g in jax.tree_util.tree_leaves(grads)))
-        scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-12))
-        grads = jax.tree.map(lambda g: (g.astype(jnp.float32) * scale
-                                        ).astype(g.dtype), grads)
-        opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        return state.replace(params=params, opt_state=opt_state,
-                             step=state.step + 1), loss, gnorm
+    step = make_update_step(loss_fn, tx,
+                            cfg.training.gradient_accumulation_steps)
 
     @jax.jit
     def eval_step(params, mixture, sources):
-        return loss_fn(params, mixture, sources, jax.random.PRNGKey(0), False)
+        loss, _ = loss_fn(params, mixture, sources, jax.random.PRNGKey(0), False)
+        return loss
 
     return step, eval_step
 
@@ -205,8 +196,8 @@ class SpeechTrainer:
                 lr = self.lr_ctl.lr_at(int(state.step))
                 rng, sub = jax.random.split(rng)
                 self.profiler.step_start(int(state.step))
-                state, loss, gnorm = self.step_fn(state, mix, src, lr, sub)
-                loss = float(loss)
+                state, ld = self.step_fn(state, mix, src, lr, sub)
+                loss = float(ld["total_loss"])
                 self.profiler.step_end(int(state.step) - 1)
                 meter.update(loss, mix.shape[0])
                 if i % tcfg.log_interval == 0:

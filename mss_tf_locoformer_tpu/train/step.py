@@ -33,7 +33,7 @@ from ..core.config import Config
 from ..losses.mss_loss import mss_loss
 from .state import TrainState, set_learning_rate
 
-__all__ = ["make_train_step", "make_eval_step"]
+__all__ = ["make_train_step", "make_eval_step", "make_update_step"]
 
 
 def _loss_fn(model, loss_cfg, params, mixture, targets, dropout_rng, train):
@@ -44,46 +44,49 @@ def _loss_fn(model, loss_cfg, params, mixture, targets, dropout_rng, train):
     return ld["total_loss"], ld
 
 
-def make_train_step(model, cfg: Config, tx) -> Callable:
-    """Returns ``step(state, mixture, targets, lr, rng) -> (state, loss_dict)``.
+def make_update_step(loss_fn: Callable, tx, accum: int = 1) -> Callable:
+    """Shared optimizer step for every trainer (MSS and speech).
 
-    ``mixture [B, T]``; ``targets`` dict of ``[B, T]``.  When
-    ``gradient_accumulation_steps > 1``, B must be divisible by it.
+    ``loss_fn(params, inputs, targets, rng, train) -> (loss, loss_dict)``
+    where ``inputs`` is an array and ``targets`` any array pytree, both with
+    a leading batch axis divisible by ``accum``.  Returns
+    ``step(state, inputs, targets, lr, rng) -> (state, loss_dict)``; the
+    dict gains a pre-clip ``grad_norm`` entry (clipping itself lives in the
+    optax chain — exactly once).
     """
-    accum = max(1, cfg.training.gradient_accumulation_steps)
-    loss_fn = functools.partial(_loss_fn, model, cfg.loss)
-    # gradient_checkpointing is realized as PER-BLOCK remat inside the model
-    # (the trainer maps the flag onto ModelConfig.remat_blocks); a whole-loss
-    # jax.checkpoint here would save nothing — the rematerialized forward
-    # still has to keep every intermediate alive during the backward.
+    accum = max(1, accum)
     grad_fn = jax.grad(loss_fn, argnums=0, has_aux=True)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, mixture, targets, lr, rng):
+    def step(state: TrainState, inputs, targets, lr, rng):
         if accum == 1:
-            grads, ld = grad_fn(state.params, mixture, targets, rng, True)
+            grads, ld = grad_fn(state.params, inputs, targets, rng, True)
         else:
-            b = mixture.shape[0]
-            micro = b // accum
-            mix_m = mixture.reshape(accum, micro, *mixture.shape[1:])
-            tgt_m = {k: v.reshape(accum, micro, *v.shape[1:]) for k, v in targets.items()}
+            micro = inputs.shape[0] // accum
+
+            def split(v):
+                return v.reshape(accum, micro, *v.shape[1:])
+
+            in_m = split(inputs)
+            tgt_m = jax.tree.map(split, targets)
             rngs = jax.random.split(rng, accum)
 
             def body(carry, xs):
                 g_acc, ld_acc = carry
-                mix_i, tgt_i, rng_i = xs
-                g, ld = grad_fn(state.params, mix_i, tgt_i, rng_i, True)
+                in_i, tgt_i, rng_i = xs
+                g, ld = grad_fn(state.params, in_i, tgt_i, rng_i, True)
                 g_acc = jax.tree.map(jnp.add, g_acc, g)
                 ld_acc = jax.tree.map(jnp.add, ld_acc, ld)
                 return (g_acc, ld_acc), None
 
             g0 = jax.tree.map(jnp.zeros_like, state.params)
             _, ld_shape = jax.eval_shape(
-                lambda: loss_fn(state.params, mix_m[0], tgt_m and
-                                {k: v[0] for k, v in tgt_m.items()}, rngs[0], True))
+                lambda: loss_fn(state.params, in_m[0],
+                                jax.tree.map(lambda v: v[0], tgt_m),
+                                rngs[0], True))
             ld0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), ld_shape)
             (grads, ld), _ = jax.lax.scan(
-                body, (g0, ld0), (mix_m, tgt_m, rngs))
+                body, (g0, ld0), (in_m, tgt_m, rngs))
             grads = jax.tree.map(lambda g: g / accum, grads)
             ld = jax.tree.map(lambda v: v / accum, ld)
 
@@ -95,6 +98,22 @@ def make_train_step(model, cfg: Config, tx) -> Callable:
         return new_state, ld
 
     return step
+
+
+def make_train_step(model, cfg: Config, tx) -> Callable:
+    """Returns ``step(state, mixture, targets, lr, rng) -> (state, loss_dict)``.
+
+    ``mixture [B, T]``; ``targets`` dict of ``[B, T]``.  When
+    ``gradient_accumulation_steps > 1``, B must be divisible by it.
+
+    gradient_checkpointing is realized as PER-BLOCK remat inside the model
+    (the trainer maps the flag onto ModelConfig.remat_blocks); a whole-loss
+    jax.checkpoint here would save nothing — the rematerialized forward
+    still has to keep every intermediate alive during the backward.
+    """
+    loss_fn = functools.partial(_loss_fn, model, cfg.loss)
+    return make_update_step(loss_fn, tx,
+                            cfg.training.gradient_accumulation_steps)
 
 
 def make_eval_step(model, cfg: Config) -> Callable:

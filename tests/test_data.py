@@ -196,3 +196,47 @@ def test_native_scan_matches_python_fallback(musdb_root, rng, monkeypatch):
     # the silent stretch must actually reject some offsets
     n_total = sum(1 + (SR * 4 + t * 317 - SR) // (SR // 2) for t in range(3))
     assert len(idx_fast) < n_total
+
+
+def test_loader_backpressure():
+    """A stalled consumer must not cause workers to buffer the whole epoch:
+    in-flight batches are capped at num_workers * prefetch_factor."""
+    import time
+
+    calls = []
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            calls.append(i)
+            return {"x": np.zeros(4, np.float32)}
+
+    dl = DataLoader(DS(), batch_size=1, num_workers=2, prefetch_factor=2)
+    it = iter(dl)
+    next(it)
+    time.sleep(0.5)  # consumer stalls; workers must block on the cap
+    assert len(calls) <= 1 + 2 * 2, f"loaded {len(calls)} items while stalled"
+    assert len(list(it)) == 63  # drains fully once the consumer resumes
+
+
+def test_loader_abandoned_epoch_unblocks_workers():
+    """Closing the iterator mid-epoch must not leave workers blocked."""
+    import threading
+
+    class DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"x": np.zeros(2, np.float32)}
+
+    before = threading.active_count()
+    dl = DataLoader(DS(), batch_size=1, num_workers=2, prefetch_factor=1)
+    it = iter(dl)
+    next(it)
+    it.close()  # abandon the epoch
+    import time
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1

@@ -1,0 +1,211 @@
+"""Parity against the ACTUAL reference code (not the hand-written oracle).
+
+Imports ``/root/reference``'s torch modules directly (rotary embeddings via
+the API shim in ``tests/_vendor``), transfers weights through the checkpoint
+converter, and compares outputs.  This closes the round-1 gap where all
+numerics tests shared a re-implemented oracle: a misunderstanding common to
+both sides would have passed silently.
+
+Covers: MSS model forward (reference models/mss_tflocoformer.py:78-258),
+standalone spec->spec separator (standalone/tflocoformer_separator.py:17-171),
+BS-Locoformer incl. masking/stereo (standalone/bslocoformer_separator.py:23-183),
+and state_dict schema round-trips in both directions for all three.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from mss_tf_locoformer_tpu.convert.torch_ckpt import (convert_state_dict,
+                                                      params_to_state_dict)
+from mss_tf_locoformer_tpu.core.config import ModelConfig
+from mss_tf_locoformer_tpu.models.bslocoformer import BSLocoformerSeparator
+from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+from mss_tf_locoformer_tpu.models.tflocoformer import TFLocoformerSeparator
+
+from reference_oracle import (reference_available, reference_mss_module,
+                              reference_standalone_modules)
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference checkout not present")
+
+STEMS = ("vocals", "drums", "bass", "other")
+
+
+def _sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _assert_schema_roundtrip(torch_model):
+    """convert -> unconvert must reproduce the torch key set bit-exact."""
+    sd = _sd(torch_model)
+    back = params_to_state_dict(convert_state_dict(sd))
+    assert set(back) == set(sd), (
+        sorted(set(sd) - set(back))[:5], sorted(set(back) - set(sd))[:5])
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+# ---------------------------------------------------------------- MSS model
+
+def test_reference_mss_forward_parity(rng):
+    ref_mod = reference_mss_module()
+    torch.manual_seed(0)
+    ref = ref_mod.TFLocoformerMSS(
+        n_fft=256, hop_length=64, n_sources=4, n_layers=2, emb_dim=16,
+        num_groups=4, n_heads=2, attention_dim=16,
+        ffn_type=["swiglu_conv1d", "swiglu_conv1d"], ffn_hidden_dim=[32, 32])
+    ref.eval()
+
+    cfg = ModelConfig(n_fft=256, hop_length=64, n_layers=2, emb_dim=16,
+                      num_groups=4, n_heads=2, attention_dim=16,
+                      ffn_type=("swiglu_conv1d", "swiglu_conv1d"),
+                      ffn_hidden_dim=(32, 32))
+    model = TFLocoformerMSS(cfg)
+    params = convert_state_dict(_sd(ref))
+
+    x = rng.standard_normal((2, 4000), dtype=np.float32) * 0.5
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))  # dict of [B, T]
+    out = model.apply(params, x)
+    for name in STEMS:
+        np.testing.assert_allclose(np.asarray(out[name]), want[name].numpy(),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)
+
+
+def test_reference_mss_schema_roundtrip():
+    ref_mod = reference_mss_module()
+    torch.manual_seed(1)
+    ref = ref_mod.TFLocoformerMSS(n_fft=256, hop_length=64, n_layers=1,
+                                  emb_dim=16, num_groups=4, n_heads=2,
+                                  attention_dim=16, ffn_type="swiglu_conv1d",
+                                  ffn_hidden_dim=32)
+    _assert_schema_roundtrip(ref)
+
+
+# ------------------------------------------------- standalone spec-to-spec
+
+def test_reference_standalone_separator_parity(rng):
+    tf_mod, _ = reference_standalone_modules()
+    torch.manual_seed(0)
+    ref = tf_mod.TFLocoformerSeparator(
+        num_spk=2, n_layers=2, emb_dim=16, norm_type="rmsgroupnorm",
+        num_groups=4, n_heads=2, attention_dim=16,
+        ffn_type=["swiglu_conv1d", "swiglu_conv1d"], ffn_hidden_dim=[32, 32])
+    ref.eval()
+
+    model = TFLocoformerSeparator(
+        num_spk=2, n_layers=2, emb_dim=16, num_groups=4, n_heads=2,
+        attention_dim=16, ffn_type=("swiglu_conv1d", "swiglu_conv1d"),
+        ffn_hidden_dim=(32, 32))
+    params = convert_state_dict(_sd(ref))
+
+    spec = (rng.standard_normal((2, 30, 65)) +
+            1j * rng.standard_normal((2, 30, 65))).astype(np.complex64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(spec)).numpy()  # [B, spk, T, F]
+    got = np.asarray(model.apply(params, spec))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+    _assert_schema_roundtrip(ref)
+
+
+# ------------------------------------------------------------ BS-Locoformer
+
+@pytest.mark.parametrize("masking", [True, False])
+def test_reference_bslocoformer_parity(rng, masking):
+    _, bs_mod = reference_standalone_modules()
+    torch.manual_seed(0)
+    kw = dict(num_spk=2, n_layers=1, emb_dim=16, norm_type="rmsgroupnorm",
+              num_groups=4, n_heads=2, attention_dim=16,
+              ffn_type="swiglu_conv1d", ffn_hidden_dim=32,
+              sample_rate=44100, stft_size=256, masking=masking)
+    ref = bs_mod.BSLocoformerSeparator(**kw)
+    ref.eval()
+
+    model = BSLocoformerSeparator(**kw)
+    params = convert_state_dict(_sd(ref))
+
+    f = 256 // 2 + 1
+    spec = (rng.standard_normal((2, 12, f)) +
+            1j * rng.standard_normal((2, 12, f))).astype(np.complex64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(spec)).numpy()  # [B, spk, T, F]
+    got = np.asarray(model.apply(params, spec))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_reference_bslocoformer_stereo_parity(rng):
+    _, bs_mod = reference_standalone_modules()
+    torch.manual_seed(0)
+    kw = dict(num_spk=2, n_layers=1, emb_dim=16, norm_type="rmsgroupnorm",
+              num_groups=4, n_heads=2, attention_dim=16,
+              ffn_type="swiglu_conv1d", ffn_hidden_dim=32,
+              sample_rate=44100, stft_size=256, masking=True, stereo=True)
+    ref = bs_mod.BSLocoformerSeparator(**kw)
+    ref.eval()
+    model = BSLocoformerSeparator(**kw)
+    params = convert_state_dict(_sd(ref))
+
+    f = 256 // 2 + 1
+    spec = (rng.standard_normal((2, 2, 12, f)) +
+            1j * rng.standard_normal((2, 2, 12, f))).astype(np.complex64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(spec)).numpy()  # [B, spk, M, T, F]
+    got = np.asarray(model.apply(params, spec))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_reference_bslocoformer_schema_roundtrip():
+    """Converted reference BS state_dict loads into the flax model (tree
+    structure + shapes match init exactly) and round-trips bit-exact."""
+    import jax
+    _, bs_mod = reference_standalone_modules()
+    torch.manual_seed(2)
+    kw = dict(num_spk=2, n_layers=1, emb_dim=16, norm_type="rmsgroupnorm",
+              num_groups=4, n_heads=2, attention_dim=16,
+              ffn_type="swiglu_conv1d", ffn_hidden_dim=32,
+              sample_rate=44100, stft_size=256)
+    ref = bs_mod.BSLocoformerSeparator(**kw)
+    _assert_schema_roundtrip(ref)
+
+    model = BSLocoformerSeparator(**kw)
+    f = 256 // 2 + 1
+    spec = np.zeros((1, 4, f), dtype=np.complex64)
+    init = model.init(jax.random.PRNGKey(0), spec)
+    converted = convert_state_dict(_sd(ref))
+    want = {jax.tree_util.keystr(k): v.shape
+            for k, v in jax.tree_util.tree_leaves_with_path(init)}
+    got = {jax.tree_util.keystr(k): v.shape
+           for k, v in jax.tree_util.tree_leaves_with_path(converted)}
+    assert want == got
+
+
+def test_reference_espnet_prefixed_pth_loads(tmp_path, rng):
+    """ESPnet-layout checkpoint (flat dict, ``separator.`` prefixes — the
+    pretrained `valid.loss.ave_5best.pth` schema) end-to-end through
+    load_torch_checkpoint + convert_state_dict, mirroring the reference's
+    own strict load test (tests/test_tflocoformer_load_pretrained_weights.py)."""
+    from mss_tf_locoformer_tpu.convert.torch_ckpt import load_torch_checkpoint
+    tf_mod, _ = reference_standalone_modules()
+    torch.manual_seed(3)
+    ref = tf_mod.TFLocoformerSeparator(
+        num_spk=2, n_layers=1, emb_dim=16, num_groups=4, n_heads=2,
+        attention_dim=16, ffn_type=["swiglu_conv1d", "swiglu_conv1d"],
+        ffn_hidden_dim=[32, 32])
+    ref.eval()
+    wrapped = {f"separator.{k}": v for k, v in ref.state_dict().items()}
+    wrapped["encoder.stft.window"] = torch.ones(8)  # non-separator key: dropped
+    path = tmp_path / "ckpt.pth"
+    torch.save(wrapped, path)
+
+    params = convert_state_dict(load_torch_checkpoint(str(path)))
+    model = TFLocoformerSeparator(
+        num_spk=2, n_layers=1, emb_dim=16, num_groups=4, n_heads=2,
+        attention_dim=16, ffn_type=("swiglu_conv1d", "swiglu_conv1d"),
+        ffn_hidden_dim=(32, 32))
+    spec = (rng.standard_normal((1, 20, 33)) +
+            1j * rng.standard_normal((1, 20, 33))).astype(np.complex64)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(spec)).numpy()
+    got = np.asarray(model.apply(params, spec))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

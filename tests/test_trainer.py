@@ -115,3 +115,35 @@ def test_step_profiler_trace_window(tmp_path):
     p.close()
     found = [f for root, _, fs in os.walk(tmp_path) for f in fs]
     assert found, "no profiler artifacts written"
+
+
+def test_chunked_validation_bounded_shapes(musdb_root, tmp_path, rng):
+    """Validation cuts arbitrary-length tracks into fixed chunks: at most two
+    distinct eval-step shapes (full group + ragged tail) for any mix of track
+    lengths, and short tracks are padded rather than dropped."""
+    out = tmp_path / "exp"
+    cfg = tiny_train_config(musdb_root, out)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, training=dataclasses.replace(
+        cfg.training, val_segment_length=SR // 2, val_batch_size=2))
+    trainer = Trainer(cfg, verbose=False)
+    state = trainer.init_model(np.zeros((1, SR // 2), np.float32))
+
+    shapes = []
+    orig = trainer.eval_step
+
+    def spy(params, mixture, targets):
+        shapes.append(tuple(mixture.shape))
+        return orig(params, mixture, targets)
+
+    trainer.eval_step = spy
+
+    def fake_loader():
+        for t in (SR, SR + 1234, SR // 3):  # multi-chunk, ragged, too-short
+            mix = (0.1 * rng.standard_normal((1, 2, t))).astype(np.float32)
+            yield {"mixture": mix, **{s: 0.25 * mix for s in STEMS}}
+
+    loss = trainer.validate(state, fake_loader())
+    assert np.isfinite(loss)
+    assert len(set(shapes)) <= 2, shapes
+    assert all(s[-1] == SR // 2 for s in shapes)
