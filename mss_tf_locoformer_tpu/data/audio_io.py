@@ -33,13 +33,19 @@ def _load_native():
         return _LIB
     _LIB_TRIED = True
     so = os.path.abspath(os.path.join(_NATIVE_DIR, "libaudio_io.so"))
-    src = os.path.abspath(os.path.join(_NATIVE_DIR, "audio_io.cpp"))
-    if not os.path.exists(so) and os.path.exists(src):
+    srcs = [os.path.abspath(os.path.join(_NATIVE_DIR, f))
+            for f in ("audio_io.cpp", "flac_decoder.cpp")]
+    srcs = [s for s in srcs if os.path.exists(s)]
+    stale = (not os.path.exists(so) or
+             (srcs and os.path.getmtime(so) < max(map(os.path.getmtime, srcs))))
+    if stale and srcs:
         try:
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
-                           check=True, capture_output=True, timeout=120)
+            subprocess.run(["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                            "-o", so] + srcs,
+                           check=True, capture_output=True, timeout=240)
         except Exception:
-            return None
+            if not os.path.exists(so):
+                return None
     if not os.path.exists(so):
         return None
     try:
@@ -62,6 +68,19 @@ def _load_native():
                                          ctypes.c_int64,
                                          ctypes.POINTER(ctypes.c_double),
                                          ctypes.c_int64]
+        try:
+            lib.flac_info.restype = ctypes.c_int
+            lib.flac_info.argtypes = [ctypes.c_char_p,
+                                      ctypes.POINTER(ctypes.c_int64),
+                                      ctypes.POINTER(ctypes.c_int32),
+                                      ctypes.POINTER(ctypes.c_int32),
+                                      ctypes.POINTER(ctypes.c_int32)]
+            lib.flac_read.restype = ctypes.c_int64
+            lib.flac_read.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                      ctypes.c_int64,
+                                      ctypes.POINTER(ctypes.c_float)]
+        except AttributeError:
+            pass  # stale .so without the FLAC symbols
         _LIB = lib
     except OSError:
         _LIB = None
@@ -156,7 +175,35 @@ def _np_read(path: str, start: int, frames: int) -> np.ndarray:
 
 # ---------------------------------------------------------------- public API
 
+def _is_flac(path: str) -> bool:
+    return path.lower().endswith(".flac")
+
+
+def _require_flac(lib):
+    if lib is None or not hasattr(lib, "flac_info"):
+        raise ValueError(
+            "FLAC decoding requires the native audio engine "
+            "(g++ build of native/audio_io.cpp + flac_decoder.cpp failed or "
+            "is unavailable); re-encode to WAV or fix the toolchain.")
+
+
+def _flac_info(path: str) -> AudioInfo:
+    lib = _load_native()
+    _require_flac(lib)
+    frames = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    bits = ctypes.c_int32()
+    rc = lib.flac_info(path.encode(), ctypes.byref(frames), ctypes.byref(sr),
+                       ctypes.byref(ch), ctypes.byref(bits))
+    if rc != 0:
+        raise ValueError(f"flac_info failed ({rc}) for {path}")
+    return AudioInfo(frames.value, sr.value, ch.value, bits.value, 1)
+
+
 def info(path: str) -> AudioInfo:
+    if _is_flac(path):
+        return _flac_info(path)
     lib = _load_native()
     if lib is None:
         return _np_info(path)
@@ -180,6 +227,14 @@ def read(path: str, start: int = 0, frames: Optional[int] = None) -> Tuple[np.nd
     if frames is None:
         frames = meta.frames - start
     lib = _load_native()
+    if _is_flac(path):
+        _require_flac(lib)
+        out = np.zeros((frames, meta.channels), dtype=np.float32)
+        rc = lib.flac_read(path.encode(), start, frames,
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc < 0:
+            raise ValueError(f"flac_read failed ({rc}) for {path}")
+        return out, meta.sample_rate
     if lib is None:
         return _np_read(path, start, frames), meta.sample_rate
     out = np.zeros((frames, meta.channels), dtype=np.float32)
