@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .attention import MultiHeadSelfAttention
-from .ffn import ConvDeconv1d, SwiGLUConvDeconv1d
+from .ffn import ConvDeconv1d, SwiGLUConvDeconv1d, block_step_applicable
 from .norms import LayerNorm, RMSGroupNorm
 
 __all__ = ["LocoformerBlock", "TFLocoformerBlock"]
@@ -67,21 +67,31 @@ class LocoformerBlock(nn.Module):
             types = (self.ffn_type,)
             dims = (self.ffn_hidden_dim,)
 
+        fuse_step = [block_step_applicable(self.norm_type, t, self.fused_ffn,
+                                           self.conv1d_kernel,
+                                           self.conv1d_shift)
+                     for t in types]
         ffns = [
             (nn.remat(_FFN[t], static_argnums=(2,)) if self.remat_ffn
              else _FFN[t])(
                 self.emb_dim, d, self.conv1d_kernel, self.conv1d_shift,
                 dropout=self.dropout, use_fused=self.fused_ffn,
-                dtype=self.dtype, name=f"ffn_{i}")
+                dtype=self.dtype, name=f"ffn_{i}",
+                **({"prenorm_groups": self.num_groups,
+                    "prenorm_eps": self.eps} if fuse_step[i] else {}))
             for i, (t, d) in enumerate(zip(types, dims))
         ]
         ffn_norms = [self._norm(f"ffn_norm_{i}") for i in range(len(ffns))]
 
+        def ffn_step(x, i):
+            """x + dropout(ffn_i(norm_i(x))) — one fused kernel on TPU."""
+            if fuse_step[i]:
+                gamma = ffn_norms[i](x, return_scale=True)
+                return ffns[i](x, deterministic, gamma)
+            return ffns[i](ffn_norms[i](x), deterministic) + x
+
         if macaron:  # pre-attention FFN (module index -1 == last)
-            residual = x
-            out = ffn_norms[-1](x)
-            out = ffns[-1](out, deterministic)
-            x = out + residual
+            x = ffn_step(x, len(ffns) - 1)
 
         residual = x
         out = self._norm("attn_norm")(x)
@@ -93,10 +103,7 @@ class LocoformerBlock(nn.Module):
             name="attn")(out, deterministic=deterministic)
         x = out.reshape(b, s1, s2, c) + residual
 
-        residual = x
-        out = ffn_norms[0](x)
-        out = ffns[0](out, deterministic)
-        return out + residual
+        return ffn_step(x, 0)
 
 
 class TFLocoformerBlock(nn.Module):

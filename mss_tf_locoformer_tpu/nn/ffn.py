@@ -26,13 +26,23 @@ import math
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops import conv as conv_ops
 from ..ops.pallas import swiglu_ffn
 from .layers import Conv1d, ConvTranspose1d, _uniform_init
 
-__all__ = ["SwiGLUConvDeconv1d", "ConvDeconv1d"]
+__all__ = ["SwiGLUConvDeconv1d", "ConvDeconv1d", "block_step_applicable"]
+
+
+def block_step_applicable(norm_type: str, ffn_type: str, use_fused: bool,
+                          kernel: int, shift: int) -> bool:
+    """Whether the fully fused norm+FFN+residual kernel serves this step
+    (the block passes the pre-norm scale into the FFN when it does)."""
+    from ..ops.pallas import on_tpu
+    return (use_fused and on_tpu() and norm_type == "rmsgroupnorm"
+            and ffn_type == "swiglu_conv1d" and swiglu_ffn.supports(kernel, shift))
 
 
 def _pad_len(s2: int, kernel: int, shift: int) -> int:
@@ -65,20 +75,27 @@ class SwiGLUConvDeconv1d(nn.Module):
     use_fused: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    # pre-norm fusion (set by the block when the fused norm+FFN+residual
+    # kernel applies): RMSGroupNorm group count / eps for the in-kernel norm
+    prenorm_groups: int = 4
+    prenorm_eps: float = 1.0e-5
+
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        """x: [B, S1, S2, C] -> [B, S1, S2, C] (conv along S2, rows B*S1)."""
+    def __call__(self, x, deterministic: bool = True, prenorm_gamma=None):
+        """x: [B, S1, S2, C] -> [B, S1, S2, C] (conv along S2, rows B*S1).
+
+        With ``prenorm_gamma`` (a ``[C]`` RMSGroupNorm scale) the whole
+        macaron step ``x + dropout(FFN(norm(x)))`` runs as ONE Pallas kernel
+        (``ops/pallas/swiglu_block.py``); the caller must not norm or add
+        the residual itself."""
         b, s1, s2, h = x.shape
         k, shift = self.conv1d_kernel, self.conv1d_shift
         diff_ks = k - shift
         x = x.reshape(b * s1, s2, h)
-        seq_len = _pad_len(s2, k, shift)
-        x = jnp.pad(x, ((0, 0), (diff_ks, seq_len - s2 - diff_ks), (0, 0)))
 
         from ..ops.pallas import on_tpu
-        fused_ok = (self.use_fused and on_tpu()
-                    and swiglu_ffn.supports(k, shift)
-                    and (deterministic or self.dropout == 0.0))
+        fused_ok = self.use_fused and on_tpu() and swiglu_ffn.supports(k, shift)
+        drop_rate = 0.0 if deterministic else self.dropout
         cw = _ConvParams((self.dim_inner * 2, self.dim, k),
                          fan_in=self.dim * k, bias_dim=self.dim_inner * 2,
                          name="conv1d")
@@ -88,9 +105,32 @@ class SwiGLUConvDeconv1d(nn.Module):
         conv_w, conv_b = cw()
         deconv_w, deconv_b = dw()
 
+        if prenorm_gamma is not None:
+            assert fused_ok, "prenorm fusion requires the fused TPU path"
+            from ..ops.pallas.swiglu_block import fused_norm_ffn_residual
+            seed = None
+            if drop_rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            y = fused_norm_ffn_residual(
+                x.astype(self.dtype), prenorm_gamma, conv_w, conv_b,
+                deconv_w, deconv_b, k, self.prenorm_groups,
+                self.prenorm_eps, drop_rate, seed)
+            return y.reshape(b, s1, s2, h)
+
+        seq_len = _pad_len(s2, k, shift)
+        x = jnp.pad(x, ((0, 0), (diff_ks, seq_len - s2 - diff_ks), (0, 0)))
+
         if fused_ok:
+            seed = None
+            if drop_rate > 0.0:  # in-kernel dropout replay (fwd + bwd)
+                seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
             y = swiglu_ffn.swiglu_conv_deconv(
-                x.astype(self.dtype), conv_w, conv_b, deconv_w, deconv_b, k)
+                x.astype(self.dtype), conv_w, conv_b, deconv_w, deconv_b, k,
+                drop_rate, seed)
         else:
             y = conv_ops.conv1d(x.astype(self.dtype),
                                 conv_w.astype(self.dtype),

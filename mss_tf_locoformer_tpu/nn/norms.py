@@ -29,10 +29,16 @@ class RMSGroupNorm(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_scale: bool = False):
         assert self.dim % self.num_groups == 0, (self.dim, self.num_groups)
         dpg = self.dim // self.num_groups
         gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        if return_scale:
+            # fused-kernel path: the caller applies the norm in-kernel and
+            # only needs the scale (params still registered here so the
+            # checkpoint schema is unchanged)
+            assert not self.use_bias
+            return gamma
         out_dtype = x.dtype
         x = x.astype(jnp.float32)  # fp32 island
         # TPU layout note: reshaping C=dim lanes to [G, C/G] puts C/G (e.g.

@@ -8,15 +8,19 @@ not enough — we must override through jax.config after import.
 
 import os
 
-# Must be set before the jax backend initializes for the virtual device count.
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# TESTS_ON_TPU=1 runs the suite on the real chip (for the TPU-only kernel
+# tests, e.g. in-kernel dropout whose PRNG yields zeros in interpret mode).
+if os.environ.get("TESTS_ON_TPU") != "1":
+    # Must be set before the jax backend initializes for the device count.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("TESTS_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,91 @@
+"""Fully fused norm+FFN+residual step vs the unfused composition."""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from mss_tf_locoformer_tpu.ops.pallas import swiglu_block as B
+
+_TPU = jax.default_backend() == "tpu"
+
+
+def _ctx():
+    return contextlib.nullcontext() if _TPU else pltpu.force_tpu_interpret_mode()
+
+
+def _args(rng, r=3, s2=41, c=32, inner=64, k=4):
+    x = rng.standard_normal((r, s2, c)).astype(np.float32)
+    gamma = (1.0 + 0.1 * rng.standard_normal(c)).astype(np.float32)
+    conv_w = (rng.standard_normal((2 * inner, c, k)) * 0.2).astype(np.float32)
+    conv_b = (rng.standard_normal(2 * inner) * 0.1).astype(np.float32)
+    deconv_w = (rng.standard_normal((inner, c, k)) * 0.2).astype(np.float32)
+    deconv_b = (rng.standard_normal(c) * 0.1).astype(np.float32)
+    return tuple(map(jnp.asarray, (x, gamma, conv_w, conv_b, deconv_w,
+                                   deconv_b)))
+
+
+@pytest.mark.parametrize("c,inner,k,groups", [(32, 64, 4, 4), (96, 160, 8, 4),
+                                              (48, 192, 3, 6)])
+def test_forward_parity(rng, c, inner, k, groups):
+    args = _args(rng, c=c, inner=inner, k=k)
+    want = np.asarray(B.reference_norm_ffn_residual(*args, k, groups, 1e-5))
+    with _ctx():
+        got = np.asarray(B.fused_norm_ffn_residual(*args, k, groups, 1e-5))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=1e-4 * scale, rtol=2e-3)
+
+
+def test_grad_parity(rng):
+    args = _args(rng)
+    k, groups = 4, 4
+    g = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda *a: B.reference_norm_ffn_residual(*a, k, groups,
+                                                              1e-5), *args)
+    want = vjp(g)
+    with _ctx():
+        _, vjp_f = jax.vjp(
+            lambda *a: B.fused_norm_ffn_residual(*a, k, groups, 1e-5), *args)
+        got = vjp_f(g)
+    names = ("dx", "dgamma", "dconv_w", "dconv_b", "ddeconv_w", "ddeconv_b")
+    for name, a, b in zip(names, want, got):
+        scale = max(np.abs(np.asarray(a)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4 * scale, rtol=5e-3, err_msg=name)
+
+
+def test_module_level_parity(rng):
+    """The block-level wiring (gamma passthrough) equals norm->ffn->+res."""
+    from mss_tf_locoformer_tpu.nn.blocks import LocoformerBlock
+    x = rng.standard_normal((1, 3, 29, 32)).astype(np.float32)
+    blk = LocoformerBlock(emb_dim=32, num_groups=4, n_heads=2,
+                          attention_dim=32, ffn_type="swiglu_conv1d",
+                          ffn_hidden_dim=64, fused_ffn=True)
+    params = blk.init(jax.random.PRNGKey(0), x)
+    # on CPU block_step_applicable is False -> module runs the unfused path;
+    # this asserts the wiring doesn't change CPU behavior
+    out = blk.apply(params, x)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(not _TPU, reason="fused step only runs on TPU")
+def test_block_fused_equals_unfused_on_tpu(rng):
+    """On the real chip: block with fused_ffn (fused norm+FFN+residual
+    kernels) vs the same params with fused_ffn=False."""
+    from mss_tf_locoformer_tpu.nn.blocks import LocoformerBlock
+    x = (0.5 * rng.standard_normal((1, 3, 29, 32))).astype(np.float32)
+    kw = dict(emb_dim=32, num_groups=4, n_heads=2, attention_dim=32,
+              ffn_type=("swiglu_conv1d", "swiglu_conv1d"),
+              ffn_hidden_dim=(64, 64))
+    fused = LocoformerBlock(fused_ffn=True, **kw)
+    plain = LocoformerBlock(fused_ffn=False, **kw)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(plain.apply(params, x))
+    got = np.asarray(fused.apply(params, x))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=5e-3 * scale, rtol=2e-2)

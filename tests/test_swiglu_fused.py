@@ -59,3 +59,131 @@ def test_fused_dropout_training_falls_back(rng):
     out = mod.apply(params, x, deterministic=False,
                     rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("dim,inner,k", [(32, 64, 4), (96, 192, 8), (48, 160, 3)])
+def test_pallas_backward_direct(rng, dim, inner, k):
+    """The fused Pallas backward itself (no fallback possible) vs jax.vjp of
+    the unfused reference — all five cotangents."""
+    r, l_in = 3, 41
+    x = rng.standard_normal((r, l_in, dim)).astype(np.float32)
+    conv_w = (rng.standard_normal((2 * inner, dim, k)) * 0.2).astype(np.float32)
+    conv_b = (rng.standard_normal(2 * inner) * 0.1).astype(np.float32)
+    deconv_w = (rng.standard_normal((inner, dim, k)) * 0.2).astype(np.float32)
+    deconv_b = (rng.standard_normal(dim) * 0.1).astype(np.float32)
+    g = rng.standard_normal((r, l_in, dim)).astype(np.float32)
+
+    _, vjp = jax.vjp(lambda *a: swiglu_ffn._reference(*a, k),
+                     x, conv_w, conv_b, deconv_w, deconv_b)
+    want = vjp(jnp.asarray(g))
+    with pltpu.force_tpu_interpret_mode():
+        got = swiglu_ffn._backward_pallas(
+            jnp.asarray(x), jnp.asarray(conv_w), jnp.asarray(conv_b),
+            jnp.asarray(deconv_w), jnp.asarray(deconv_b), k, jnp.asarray(g))
+    names = ("dx", "dconv_w", "dconv_b", "ddeconv_w", "ddeconv_b")
+    for name, a, b in zip(names, want, got):
+        scale = max(np.abs(np.asarray(a)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4 * scale, rtol=2e-3, err_msg=name)
+
+
+import contextlib
+
+_TPU = jax.default_backend() == "tpu"
+
+
+def _kernel_ctx():
+    """Real kernels on TPU; interpret mode elsewhere."""
+    return contextlib.nullcontext() if _TPU else pltpu.force_tpu_interpret_mode()
+_tpu_only = pytest.mark.skipif(
+    not _TPU, reason="pltpu.prng_random_bits yields zeros in interpret mode "
+    "(CPU); the in-kernel dropout tests need a real TPU")
+
+
+def _identity_deconv(dim, k):
+    """deconv_w with tap j=0 identity: output[l] = h[l] (pre-crop)."""
+    w = np.zeros((dim, dim, k), np.float32)
+    for c in range(dim):
+        w[c, c, 0] = 1.0
+    return w
+
+
+@_tpu_only
+def test_in_kernel_dropout_mask_and_replay(rng):
+    """In-kernel dropout: deterministic per seed, correct drop fraction and
+    scaling, and the backward replays the exact forward mask (validated by
+    differentiating a jnp reference with the extracted mask inserted)."""
+    dim, k, r, l_in, rate = 32, 4, 4, 57, 0.4
+    l1 = l_in - k + 1
+    x = rng.standard_normal((r, l_in, dim)).astype(np.float32)
+    conv_w = (rng.standard_normal((2 * dim, dim, k)) * 0.3).astype(np.float32)
+    conv_b = (rng.standard_normal(2 * dim) * 0.1).astype(np.float32)
+    deconv_w = _identity_deconv(dim, k)
+    deconv_b = np.zeros(dim, np.float32)
+    seed = jnp.asarray([1234], jnp.int32)
+    args = (jnp.asarray(x), jnp.asarray(conv_w), jnp.asarray(conv_b),
+            jnp.asarray(deconv_w), jnp.asarray(deconv_b))
+
+    with _kernel_ctx():
+        clean = np.asarray(swiglu_ffn.swiglu_conv_deconv(*args, k))
+        drop1 = np.asarray(swiglu_ffn.swiglu_conv_deconv(*args, k, rate, seed))
+        drop2 = np.asarray(swiglu_ffn.swiglu_conv_deconv(*args, k, rate, seed))
+    np.testing.assert_array_equal(drop1, drop2)  # replayable per seed
+
+    ratio = drop1[:, :l1] / np.where(np.abs(clean[:, :l1]) > 1e-12,
+                                     clean[:, :l1], 1.0)
+    keep = np.abs(ratio) > 0.5
+    kp = 1.0 - rate
+    # TPU fp32 dots run as bf16 MXU passes -> ~0.5% rounding on the ratio
+    np.testing.assert_allclose(ratio[keep], 1.0 / kp, rtol=2e-2)
+    frac = keep.mean()
+    assert abs(frac - kp) < 0.06, frac  # ~N(kp, sqrt(kp(1-kp)/n))
+
+    # backward replay: differentiate a jnp reference with the SAME mask
+    mask = jnp.asarray(keep.astype(np.float32))
+
+    def ref_with_mask(x_, cw, cb, dw, db):
+        from mss_tf_locoformer_tpu.ops import conv as conv_ops
+        y = conv_ops.conv1d(x_, cw, cb, stride=1, padding=0)
+        h = y[..., :dim] * jax.nn.silu(y[..., dim:])
+        h = h * mask / kp
+        return conv_ops.conv_transpose1d(h, dw, db, stride=1, padding=0)
+
+    g = jnp.asarray(rng.standard_normal((r, l_in, dim)).astype(np.float32))
+    want_out, vjp = jax.vjp(ref_with_mask, *args)
+    want = vjp(g)
+    np.testing.assert_allclose(drop1, np.asarray(want_out), atol=5e-3,
+                               rtol=2e-2)
+    with _kernel_ctx():
+        got = swiglu_ffn._backward_pallas(*args, k, g, rate, seed)
+    names = ("dx", "dconv_w", "dconv_b", "ddeconv_w", "ddeconv_b")
+    for name, a, b in zip(names, want, got):
+        scale = max(np.abs(np.asarray(a)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-3 * scale, rtol=2e-2, err_msg=name)
+
+
+@_tpu_only
+def test_dropout_grad_through_custom_vjp(rng):
+    """jax.grad through the public op with dropout active: finite and
+    deterministic per seed."""
+    dim, k, rate = 32, 4, 0.25
+    x = jnp.asarray(rng.standard_normal((2, 33, dim)).astype(np.float32))
+    conv_w = jnp.asarray((rng.standard_normal((2 * dim, dim, k)) * 0.3
+                          ).astype(np.float32))
+    conv_b = jnp.zeros(2 * dim)
+    deconv_w = jnp.asarray((rng.standard_normal((dim, dim, k)) * 0.3
+                            ).astype(np.float32))
+    deconv_b = jnp.zeros(dim)
+    seed = jnp.asarray([7], jnp.int32)
+
+    def loss(cw):
+        return jnp.sum(swiglu_ffn.swiglu_conv_deconv(
+            x, cw, conv_b, deconv_w, deconv_b, k, rate, seed) ** 2)
+
+    with _kernel_ctx():
+        g1 = np.asarray(jax.grad(loss)(conv_w))
+        g2 = np.asarray(jax.grad(loss)(conv_w))
+    assert np.isfinite(g1).all()
+    np.testing.assert_array_equal(g1, g2)
+    assert np.abs(g1).max() > 0
