@@ -97,10 +97,15 @@ class TFLocoformerMSS(nn.Module):
             return {name: spec_out[:, i] for i, name in enumerate(names)}
 
         flat = spec_out.reshape(b * cfg.n_sources, n_freqs, n_frames)
-        # inverse always takes the XLA path: measured on v5e the Pallas
-        # irDFT (1.8 vs 2.8 ms at batch 16) loses — the OLA scatter, not the
-        # irFFT, dominates and isn't fused yet (istft_pallas stays available)
-        audio = istft(flat, cfg.n_fft, cfg.hop_length, length=original_length)
+        if (cfg.fused_stft and use_fused and
+                fused.supports_inverse(cfg.n_fft, cfg.hop_length, n_frames)):
+            # fully fused irDFT+window+OLA kernel (bf16 single-pass like the
+            # forward; the NOLA envelope is a trace-time constant)
+            audio = fused.istft_ola_pallas(flat, cfg.n_fft, cfg.hop_length,
+                                           length=original_length, fast=True)
+        else:
+            audio = istft(flat, cfg.n_fft, cfg.hop_length,
+                          length=original_length)
         audio = audio.reshape(b, cfg.n_sources, original_length)
         return {name: audio[:, i] for i, name in enumerate(names)}
 

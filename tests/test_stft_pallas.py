@@ -102,3 +102,28 @@ def test_model_with_fused_stft_matches(rng):
     for k in want:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("n_fft,hop", [(2048, 512), (1024, 256)])
+def test_istft_ola_fused_parity(rng, n_fft, hop):
+    """Fully fused irDFT+window+OLA kernel vs the jnp istft (1e-5)."""
+    from mss_tf_locoformer_tpu.ops import stft as S
+    t = 20000
+    x = rng.standard_normal((2, t)).astype(np.float32)
+    spec = S.stft(jnp.asarray(x), n_fft, hop)
+    assert K.supports_inverse(n_fft, hop, spec.shape[-1])
+    want = np.asarray(S.istft(spec, n_fft, hop, length=t))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(K.istft_ola_pallas(spec, n_fft, hop, length=t))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_istft_ola_roundtrip(rng):
+    """stft -> fused istft reconstructs the signal (COLA)."""
+    from mss_tf_locoformer_tpu.ops import stft as S
+    t = 16000
+    x = rng.standard_normal((1, t)).astype(np.float32)
+    spec = S.stft(jnp.asarray(x), 1024, 256)
+    with pltpu.force_tpu_interpret_mode():
+        y = np.asarray(K.istft_ola_pallas(spec, 1024, 256, length=t))
+    np.testing.assert_allclose(y, x, atol=1e-4)
