@@ -22,6 +22,10 @@ def parse_args(argv=None):
     p.add_argument("--chunk_seconds", type=float, default=8.0)
     p.add_argument("--overlap_seconds", type=float, default=1.0)
     p.add_argument("--batch_size", type=int, default=2)  # fits 16 GB HBM (bf16)
+    p.add_argument("--bss_eval", action="store_true",
+                   help="Also compute true BSS Eval v3 SDR/SIR/SAR "
+                        "(512-tap multi-source decomposition) per track")
+    p.add_argument("--bss_filter_len", type=int, default=512)
     return p.parse_args(argv)
 
 
@@ -59,6 +63,13 @@ def main(argv=None):
         stems = engine(mixture)
         res = evaluate_source_separation(stems, targets,
                                          metrics=config.evaluation.metrics)
+        if args.bss_eval:
+            from ..eval.bss_eval import bss_eval_stems
+            bss = bss_eval_stems(stems, targets,
+                                 filter_len=args.bss_filter_len)
+            for stem, vals in bss.items():
+                res.setdefault(stem, {}).update(
+                    {f"bss_{m}": v for m, v in vals.items()})
         per_track[name] = res
         print(f"[{i + 1}/{len(ds)}] {name}: "
               f"SI-SDR {res['average']['si_sdr']:.2f} dB")
@@ -70,11 +81,13 @@ def main(argv=None):
                            np.stack([est, est]), dcfg.sample_rate)
 
     stems_seen = sorted({s for r in per_track.values() for s in r})
-    summary = {
-        s: {m: float(np.mean([r[s][m] for r in per_track.values() if s in r]))
-            for m in config.evaluation.metrics}
-        for s in stems_seen
-    }
+    summary = {}
+    for s in stems_seen:
+        names = sorted({m for r in per_track.values() for m in r.get(s, {})})
+        summary[s] = {
+            m: float(np.mean([r[s][m] for r in per_track.values()
+                              if s in r and m in r[s]]))
+            for m in names}
     print("\n=== mean over tracks ===")
     print_metrics(summary)
     save_json({"per_track": per_track, "summary": summary},
