@@ -188,8 +188,12 @@ def test_reference_espnet_prefixed_pth_loads(tmp_path, rng):
     from mss_tf_locoformer_tpu.convert.torch_ckpt import load_torch_checkpoint
     tf_mod, _ = reference_standalone_modules()
     torch.manual_seed(3)
+    # norm_type passed explicitly: the reference's own default is the typo
+    # "rmsgrouporm" (standalone/tflocoformer_separator.py:65) which its
+    # assert rejects — the class is unusable with defaults.
     ref = tf_mod.TFLocoformerSeparator(
-        num_spk=2, n_layers=1, emb_dim=16, num_groups=4, n_heads=2,
+        num_spk=2, n_layers=1, emb_dim=16, norm_type="rmsgroupnorm",
+        num_groups=4, n_heads=2,
         attention_dim=16, ffn_type=["swiglu_conv1d", "swiglu_conv1d"],
         ffn_hidden_dim=[32, 32])
     ref.eval()
@@ -200,7 +204,8 @@ def test_reference_espnet_prefixed_pth_loads(tmp_path, rng):
 
     params = convert_state_dict(load_torch_checkpoint(str(path)))
     model = TFLocoformerSeparator(
-        num_spk=2, n_layers=1, emb_dim=16, num_groups=4, n_heads=2,
+        num_spk=2, n_layers=1, emb_dim=16, norm_type="rmsgroupnorm",
+        num_groups=4, n_heads=2,
         attention_dim=16, ffn_type=("swiglu_conv1d", "swiglu_conv1d"),
         ffn_hidden_dim=(32, 32))
     spec = (rng.standard_normal((1, 20, 33)) +
