@@ -4,6 +4,12 @@ Mirrors the reference MHSA (``models/mss_tflocoformer.py:467-559``): fused
 QKV projection without bias, interleaved-pair RoPE on Q/K in fp32, SDPA, and
 a bias-free output projection + dropout.  The ``flash`` backend selects the
 Pallas fused kernel; ``xla`` is the einsum path (fp32 softmax either way).
+
+With ``prenorm_gamma`` (an RMSGroupNorm scale from the enclosing block) the
+whole attention sub-step ``x + OutProj(MHSA(norm(x)))`` runs as ONE Pallas
+kernel (``ops/pallas/attention_block.py``); the caller must not norm or add
+the residual itself.  Parameters keep the exact same tree
+(``qkv/weight``, ``aggregate_heads/weight``) so checkpoints are unaffected.
 """
 
 from __future__ import annotations
@@ -15,9 +21,33 @@ import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
 from ..ops.rope import apply_rope
-from .layers import Linear
+from .layers import Linear, _uniform_init
 
-__all__ = ["MultiHeadSelfAttention"]
+__all__ = ["MultiHeadSelfAttention", "attn_step_applicable"]
+
+
+def attn_step_applicable(norm_type: str, flash_attention: bool,
+                         emb_dim: int, attention_dim: int, n_heads: int,
+                         seq_len: int) -> bool:
+    """Whether the fully fused norm+MHSA+residual kernel serves this step
+    (the block passes the pre-norm scale into the attention when it does)."""
+    from ..ops.pallas import on_tpu
+    if not (flash_attention and on_tpu() and norm_type == "rmsgroupnorm"):
+        return False
+    from ..ops.pallas.attention_block import supports_block
+    return supports_block(emb_dim, attention_dim, n_heads, seq_len)
+
+
+class _Weight(nn.Module):
+    """Registers a ``weight`` param identical to ``Linear(use_bias=False)``
+    without applying it (the fused kernel consumes the raw matrix)."""
+
+    shape: tuple
+    bound: float
+
+    @nn.compact
+    def __call__(self):
+        return self.param("weight", _uniform_init(self.bound), self.shape)
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -29,11 +59,28 @@ class MultiHeadSelfAttention(nn.Module):
     flash_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    # pre-norm fusion (set by the block when the fused attention-step kernel
+    # applies): RMSGroupNorm group count / eps for the in-kernel norm
+    prenorm_groups: int = 4
+    prenorm_eps: float = 1.0e-5
+
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, prenorm_gamma=None):
         """x: [B, L, C] -> [B, L, C]; attention over L."""
         b, l, _ = x.shape
         head_dim = self.attention_dim // self.n_heads
+
+        if prenorm_gamma is not None:
+            from ..ops.pallas.attention_block import fused_attention_block
+            w_qkv = _Weight((self.attention_dim * 3, self.emb_dim),
+                            1.0 / (self.emb_dim ** 0.5), name="qkv")()
+            w_out = _Weight((self.emb_dim, self.attention_dim),
+                            1.0 / (self.attention_dim ** 0.5),
+                            name="aggregate_heads")()
+            return fused_attention_block(
+                x.astype(self.dtype), prenorm_gamma, w_qkv, w_out,
+                self.n_heads, self.prenorm_groups, self.prenorm_eps,
+                self.use_rope)
 
         qkv = Linear(self.emb_dim, self.attention_dim * 3, use_bias=False,
                      dtype=self.dtype, name="qkv")(x)

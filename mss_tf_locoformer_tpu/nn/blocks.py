@@ -21,7 +21,7 @@ from typing import Optional, Sequence, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .attention import MultiHeadSelfAttention
+from .attention import MultiHeadSelfAttention, attn_step_applicable
 from .ffn import ConvDeconv1d, SwiGLUConvDeconv1d, block_step_applicable
 from .norms import LayerNorm, RMSGroupNorm
 
@@ -93,15 +93,28 @@ class LocoformerBlock(nn.Module):
         if macaron:  # pre-attention FFN (module index -1 == last)
             x = ffn_step(x, len(ffns) - 1)
 
-        residual = x
-        out = self._norm("attn_norm")(x)
-        out = out.reshape(b * s1, s2, c)
-        out = MultiHeadSelfAttention(
+        fuse_attn = ((deterministic or self.dropout == 0.0)
+                     and attn_step_applicable(
+                         self.norm_type, self.flash_attention, self.emb_dim,
+                         self.attention_dim, self.n_heads, s2))
+        attn = MultiHeadSelfAttention(
             self.emb_dim, self.attention_dim, n_heads=self.n_heads,
             dropout=self.dropout, use_rope=self.use_rope,
             flash_attention=self.flash_attention, dtype=self.dtype,
-            name="attn")(out, deterministic=deterministic)
-        x = out.reshape(b, s1, s2, c) + residual
+            name="attn",
+            **({"prenorm_groups": self.num_groups,
+                "prenorm_eps": self.eps} if fuse_attn else {}))
+        if fuse_attn:
+            # x + OutProj(MHSA(RMSGroupNorm(x))) — one fused kernel on TPU
+            gamma = self._norm("attn_norm")(x, return_scale=True)
+            out = attn(x.reshape(b * s1, s2, c), deterministic, gamma)
+            x = out.reshape(b, s1, s2, c)
+        else:
+            residual = x
+            out = self._norm("attn_norm")(x)
+            out = attn(out.reshape(b * s1, s2, c),
+                       deterministic=deterministic)
+            x = out.reshape(b, s1, s2, c) + residual
 
         return ffn_step(x, 0)
 

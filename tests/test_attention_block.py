@@ -1,0 +1,100 @@
+"""Fully fused norm+MHSA+residual attention step vs the unfused composition."""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from mss_tf_locoformer_tpu.ops.pallas import attention_block as AB
+
+_TPU = jax.default_backend() == "tpu"
+
+
+def _ctx():
+    return contextlib.nullcontext() if _TPU else pltpu.force_tpu_interpret_mode()
+
+
+# interpret mode computes fp32 exactly; the real chip runs fp32 jax.lax.dot
+# as bf16 MXU passes (~0.5% error) in BOTH the kernel and the XLA oracle,
+# and the two round differently
+_ATOL = 5e-3 if _TPU else 2e-4
+_RTOL = 2e-2 if _TPU else 2e-3
+
+
+def _args(rng, r=3, l=37, c=32, a=32):
+    x = (0.5 * rng.standard_normal((r, l, c))).astype(np.float32)
+    gamma = (1.0 + 0.1 * rng.standard_normal(c)).astype(np.float32)
+    w_qkv = (rng.standard_normal((3 * a, c)) / np.sqrt(c)).astype(np.float32)
+    w_out = (rng.standard_normal((c, a)) / np.sqrt(a)).astype(np.float32)
+    return tuple(map(jnp.asarray, (x, gamma, w_qkv, w_out)))
+
+
+@pytest.mark.parametrize("c,a,h,l,rope", [
+    (32, 32, 2, 37, True),      # head_dim 16 -> padded to 32
+    (96, 96, 4, 130, True),     # base-config dims, L crosses one lane tile
+    (96, 96, 4, 64, False),     # NoPE
+    (64, 96, 3, 50, True),      # attention_dim != emb_dim, head_dim 32
+])
+def test_forward_parity(rng, c, a, h, l, rope):
+    args = _args(rng, l=l, c=c, a=a)
+    want = np.asarray(AB.reference_attention_block(*args, h, 4, 1e-5, rope))
+    with _ctx():
+        got = np.asarray(AB.fused_attention_block(*args, h, 4, 1e-5, rope))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=_ATOL * scale, rtol=_RTOL)
+
+
+def test_supports_block_gate():
+    assert AB.supports_block(96, 96, 4, 1025)     # freq path, base config
+    assert AB.supports_block(96, 96, 4, 259)      # time path
+    assert not AB.supports_block(96, 95, 4, 64)   # head split must be exact
+    assert not AB.supports_block(96, 96, 4, 8192) # beyond the VMEM budget
+
+
+def test_grad_runs_through_custom_vjp(rng):
+    """Backward routes through the unfused recompute; must produce finite
+    cotangents for every input."""
+    args = _args(rng)
+    g = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
+    with _ctx():
+        _, vjp = jax.vjp(
+            lambda *a: AB.fused_attention_block(*a, 2, 4, 1e-5, True), *args)
+        grads = vjp(g)
+    _, vjp_r = jax.vjp(
+        lambda *a: AB.reference_attention_block(*a, 2, 4, 1e-5, True), *args)
+    want = vjp_r(g)
+    for name, gx, wx in zip(("dx", "dgamma", "dw_qkv", "dw_out"), grads, want):
+        scale = max(np.abs(np.asarray(wx)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(wx),
+                                   atol=(5e-3 if _TPU else 1e-5) * scale,
+                                   rtol=2e-2 if _TPU else 1e-4, err_msg=name)
+
+
+@pytest.mark.skipif(not _TPU, reason="fused step only runs on TPU")
+def test_block_fused_attn_equals_unfused_on_tpu(rng):
+    """On the real chip: block with flash_attention (fused attention-step
+    kernel) vs the same params with flash_attention=False (XLA SDPA)."""
+    from mss_tf_locoformer_tpu.nn.blocks import LocoformerBlock
+    x = (0.5 * rng.standard_normal((1, 3, 140, 32))).astype(np.float32)
+    kw = dict(emb_dim=32, num_groups=4, n_heads=2, attention_dim=32,
+              ffn_type="swiglu_conv1d", ffn_hidden_dim=64)
+    fused = LocoformerBlock(flash_attention=True, **kw)
+    plain = LocoformerBlock(flash_attention=False, **kw)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(plain.apply(params, x))
+    got = np.asarray(fused.apply(params, x))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=5e-3 * scale, rtol=2e-2)
+
+
+def test_batch_padding(rng):
+    """Row count not a multiple of the kernel group size."""
+    args = _args(rng, r=5, l=29, c=32, a=32)
+    want = np.asarray(AB.reference_attention_block(*args, 2, 4, 1e-5, True))
+    with _ctx():
+        got = np.asarray(AB.fused_attention_block(*args, 2, 4, 1e-5, True))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=_ATOL * scale, rtol=_RTOL)
