@@ -231,11 +231,14 @@ def supports_inverse(n_fft: int, hop: int, n_frames: int,
 
 
 def _inv_ola_kernel(re_ref, im_ref, cre_ref, cim_ref, out_ref, *,
-                    blk: int, fast: bool):
+                    blk: int, ratio: int, fast: bool):
     """One OLA tap per grid step: chunk block ``i`` accumulates
     ``frames[c - k, k*hop:(k+1)*hop]`` over the sequential ``k`` grid axis.
     re/im are pre-padded with 8 leading zero frames so the aligned region
-    load covers the ``c - k`` halo; the tap alignment is a dynamic roll."""
+    load covers the ``c - k`` halo.  The tap alignment is a roll whose shift
+    depends on ``k``; dynamic-shift ``pltpu.roll`` does not lower on this
+    backend, so each tap's STATIC roll sits behind a ``pl.when`` predicate
+    (only one branch executes per grid step)."""
     i = pl.program_id(1)
     k = pl.program_id(2)
 
@@ -253,8 +256,11 @@ def _inv_ola_kernel(re_ref, im_ref, cre_ref, cim_ref, out_ref, *,
                           preferred_element_type=jnp.float32)
     # out[c] needs frames row (c + 8 - k): up-shift by (8 - k) == roll by
     # rows - (8 - k) = blk + k; wrapped rows land beyond blk and are dropped
-    rolled = pltpu.roll(frames, blk + k, 0)
-    out_ref[0] += rolled[:blk]
+    for kk in range(ratio):
+        @pl.when(k == kk)
+        def _acc(kk=kk):
+            rolled = pltpu.roll(frames, blk + kk, 0)
+            out_ref[0] += rolled[:blk]
 
 
 def _inverse_ola(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
@@ -270,7 +276,7 @@ def _inverse_ola(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
     wdt = jnp.bfloat16 if fast else jnp.float32
     n_cb = (n_pad - 8) // BLK_N
     out = pl.pallas_call(
-        functools.partial(_inv_ola_kernel, blk=BLK_N, fast=fast),
+        functools.partial(_inv_ola_kernel, blk=BLK_N, ratio=ratio, fast=fast),
         grid=(b, n_cb, ratio),
         in_specs=[
             pl.BlockSpec((1, n_pad, f_pad), lambda b_, i, k: (b_, 0, 0),

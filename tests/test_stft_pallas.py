@@ -77,11 +77,14 @@ def test_istft_grad_matches_jnp(rng):
     def loss_pal(s):
         return jnp.sum(K.istft_pallas(s, n_fft, hop, t) ** 2)
 
-    g_ref = np.asarray(jax.grad(loss_ref)(spec))
+    g_ref = jax.grad(loss_ref)(spec)
     with pltpu.force_tpu_interpret_mode():
-        g_pal = np.asarray(jax.grad(loss_pal)(spec))
-    np.testing.assert_allclose(g_pal.real, g_ref.real, atol=1e-2, rtol=1e-3)
-    np.testing.assert_allclose(g_pal.imag, g_ref.imag, atol=1e-2, rtol=1e-3)
+        g_pal = jax.grad(loss_pal)(spec)
+    # complex D2H is unimplemented over remote-device tunnels: split on device
+    for part in (jnp.real, jnp.imag):
+        np.testing.assert_allclose(np.asarray(part(g_pal)),
+                                   np.asarray(part(g_ref)),
+                                   atol=1e-2, rtol=1e-3)
 
 
 def test_model_with_fused_stft_matches(rng):
