@@ -91,6 +91,62 @@ def test_sharded_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
 
 
+def test_tensor_parallel_matches_single_device(rng):
+    """dp=4 x mp=2 mesh with Megatron-style param sharding == single device.
+
+    Params (and optimizer moments) are sharded by ``tp_shardings``; XLA's
+    SPMD partitioner inserts the head/FFN-inner collectives over mp."""
+    from mss_tf_locoformer_tpu.parallel.sharding import tp_shardings, validate_tp
+
+    cfg = Config(
+        model=ModelConfig(n_fft=256, hop_length=128, n_layers=1, emb_dim=16,
+                          num_groups=4, n_heads=2, attention_dim=16,
+                          ffn_type="swiglu_conv1d", ffn_hidden_dim=32),
+        loss=LossConfig(loss_type="si_sdr"),
+        training=TrainingConfig(optimizer=OptimizerConfig(lr=1e-3)),
+    )
+    validate_tp(cfg.model, mp=2)
+    model = TFLocoformerMSS(cfg.model)
+    b, t = 8, 2000
+    stems = {k: 0.3 * rng.standard_normal((b, t)).astype(np.float32)
+             for k in ("vocals", "drums", "bass", "other")}
+    mixture = sum(stems.values())
+    params = model.init(jax.random.PRNGKey(0), mixture[:1])
+    tx = make_optimizer(cfg.training)
+    step = make_train_step(model, cfg, tx)
+    key = jax.random.PRNGKey(1)
+
+    s_single = init_state(jax.tree.map(jnp.copy, params), tx)
+    s_single, ld_single = step(s_single, mixture, stems, 1e-3, key)
+
+    mesh = M.make_mesh(dp=4, mp=2)
+    state = init_state(jax.tree.map(jnp.copy, params), tx)
+    s_shard = jax.device_put(state, tp_shardings(state, mesh))
+    # at least one weight leaf must actually be partitioned over mp
+    shardings = tp_shardings(state, mesh)
+    assert any(not s.is_fully_replicated
+               for s in jax.tree.leaves(shardings))
+    batch = M.shard_batch(mesh, {"mixture": mixture, **stems})
+    mixture_s = batch.pop("mixture")
+    s_shard, ld_shard = step(s_shard, mixture_s, batch, 1e-3, key)
+
+    np.testing.assert_allclose(float(ld_single["total_loss"]),
+                               float(ld_shard["total_loss"]), rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(s_single.params),
+                     jax.tree.leaves(s_shard.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+
+def test_validate_tp_rejects_uneven_splits():
+    from mss_tf_locoformer_tpu.parallel.sharding import validate_tp
+    import pytest
+    cfg = ModelConfig(n_fft=256, hop_length=128, n_layers=1, emb_dim=16,
+                      num_groups=4, n_heads=2, attention_dim=16,
+                      ffn_type="swiglu_conv1d", ffn_hidden_dim=31)
+    with pytest.raises(ValueError, match="ffn_hidden_dim"):
+        validate_tp(cfg, mp=2)
+
+
 def test_chunk_parallel_inference_matches_single_device(rng):
     """SeparationEngine with a dp-sharded chunk batch == unsharded engine
     (chunk-parallel inference, the TPU answer to full-track forwards)."""
