@@ -77,10 +77,17 @@ class MultiHeadSelfAttention(nn.Module):
             w_out = _Weight((self.emb_dim, self.attention_dim),
                             1.0 / (self.attention_dim ** 0.5),
                             name="aggregate_heads")()
+            drop = 0.0 if deterministic else self.dropout
+            seed = None
+            if drop > 0.0:  # in-kernel dropout replay (fwd + bwd)
+                import jax
+                seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
             return fused_attention_block(
                 x.astype(self.dtype), prenorm_gamma, w_qkv, w_out,
                 self.n_heads, self.prenorm_groups, self.prenorm_eps,
-                self.use_rope)
+                self.use_rope, 10000.0, drop, seed)
 
         qkv = Linear(self.emb_dim, self.attention_dim * 3, use_bias=False,
                      dtype=self.dtype, name="qkv")(x)

@@ -93,10 +93,9 @@ class LocoformerBlock(nn.Module):
         if macaron:  # pre-attention FFN (module index -1 == last)
             x = ffn_step(x, len(ffns) - 1)
 
-        fuse_attn = ((deterministic or self.dropout == 0.0)
-                     and attn_step_applicable(
-                         self.norm_type, self.flash_attention, self.emb_dim,
-                         self.attention_dim, self.n_heads, s2))
+        fuse_attn = attn_step_applicable(
+            self.norm_type, self.flash_attention, self.emb_dim,
+            self.attention_dim, self.n_heads, s2)
         attn = MultiHeadSelfAttention(
             self.emb_dim, self.attention_dim, n_heads=self.n_heads,
             dropout=self.dropout, use_rope=self.use_rope,

@@ -1,27 +1,27 @@
-"""Fully fused attention step: ``x + OutProj(SDPA(RoPE(QKV(RMSGroupNorm(x)))))``.
+"""Fully fused attention step: ``x + Drop(OutProj(SDPA(RoPE(QKV(RMSGroupNorm(x))))))``.
 
 One Pallas kernel for the whole LocoformerBlock attention sub-step
 (reference ``models/mss_tflocoformer.py:443-464,467-559``): the fp32
 pre-norm island, the fused QKV projection, per-head RoPE + flash attention
 (transposed layout, bounded-shift softmax — see ``flash_attention.py``),
-the head-aggregate output projection, and the residual add all run on
-VMEM-resident rows.  Measured on v5e the unfused XLA side of an MHSA call
-(projections + head-layout moves around the flash kernel) cost ~11 ms at
-freq-path shapes and ~17 ms at time-path shapes — pure HBM round-trips of
-Q/K/V/O-sized tensors that this kernel never materializes: per attention
-step HBM is touched exactly twice (read x, write out).
+the head-aggregate output projection, the reference's post-projection
+dropout (``:489``), and the residual add all run on VMEM-resident rows.
+Measured on v5e the unfused XLA side of an MHSA call (projections +
+head-layout moves around the flash kernel) cost ~11 ms at freq-path shapes
+and ~17 ms at time-path shapes — pure HBM round-trips of Q/K/V/O-sized
+tensors that this kernel never materializes: per attention step HBM is
+touched exactly twice (read x, write out).
 
 Layout: everything transposed, channels/heads on SUBLANES and sequence on
 LANES.  Heads are packed 32-sublane-aligned (D=24 pads to 32), so per-head
 q/k/v are aligned sublane slices of one ``[H*32, Lp]`` matmul output and
 the QKV / out projections run at full 128-depth MXU utilization.
 
-Backward: ``custom_vjp`` recomputes through the unfused composable path
-(norm -> flash_attention -> proj), whose pieces have their own Pallas
-backward kernels.  The fused forward therefore applies regardless of
-``is_training``; only active attention-dropout (reference ``:489``) routes
-around it (mask replay across two different kernels isn't worth the
-complexity — shipped MSS configs put dropout on the FFN sites).
+Backward: a second Pallas kernel recomputes norm+QKV+attention in VMEM (no
+stash), replays the dropout mask from the absolute-row-seeded counter PRNG,
+back-rotates the q/k cotangents in-kernel (RoPE is orthogonal: R(-theta)),
+and accumulates all weight/gamma grads across the sequential grid.  A
+reference-recompute fallback covers drop-free shapes the kernel rejects.
 """
 
 from __future__ import annotations
@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .flash_attention import (LANE, MAX_L, _LOG2E, _bounded_shift, _rope_t,
                               _round_up)
+from .swiglu_ffn import _dropout_mask
 
 __all__ = ["fused_attention_block", "supports_block",
            "reference_attention_block"]
@@ -53,50 +54,67 @@ def _dims(emb_dim: int, attention_dim: int, n_heads: int):
     return head_dim, cp, dp, hp
 
 
-def _blk_q(lp: int) -> int:
+def _blk_q(lp: int, budget: int = 4 * 1024 * 1024) -> int:
     """Largest 128-multiple divisor of ``lp`` whose two live fp32 score
     buffers (s and p; the bounded-shift softmax has no max pass and
-    q-blocks are fully independent) stay within ~4 MiB."""
+    q-blocks are fully independent) stay within the budget."""
     best = 128
     for d in range(1, lp // 128 + 1):
         blk = 128 * d
-        if lp % blk == 0 and 2 * lp * blk * 4 <= 4 * 1024 * 1024:
+        if lp % blk == 0 and 2 * lp * blk * 4 <= budget:
             best = blk
     return best
 
 
-def _vmem_bytes(lp: int, cp: int, hp: int, blk_q: int) -> int:
-    rows = 2 * 2 * lp * cp * 2            # x in + out, double-buffered bf16
-    inter = 2 * lp * cp * 4 + 3 * lp * hp * 2 + lp * hp * 4  # x32/xn, qkv, o
-    scores = 2 * lp * blk_q * 4           # s, p
-    weights = (3 * hp + hp) * cp * 2 + cp * cp * 4 + 2 * 32 * lp * 4
+def _vmem_bytes(lp: int, cp: int, hp: int, blk_q: int, bwd: bool) -> int:
+    rows = 2 * (3 if bwd else 2) * lp * cp * 2    # x(+g) in / out, dbuffered
+    n_inter = 10 if bwd else 2
+    inter = (n_inter * lp * cp * 4 + (6 if bwd else 3) * lp * hp * 2
+             + lp * hp * 4)
+    scores = (4 if bwd else 2) * lp * blk_q * 4
+    weights = 4 * hp * cp * 2 + cp * cp * 4 + 2 * 32 * lp * 4
+    if bwd:
+        weights += 3 * hp * cp * 4 + cp * hp * 4  # fp32 grad accumulators
     return rows + inter + scores + weights
 
 
 def supports_block(emb_dim: int, attention_dim: int, n_heads: int,
                    seq_len: int) -> bool:
-    """Whether the fused attention-step kernel fits VMEM for this shape."""
+    """Whether the fused attention-step kernel (fwd AND bwd) fits VMEM."""
     if attention_dim % n_heads:
         return False
     _, cp, dp, hp = _dims(emb_dim, attention_dim, n_heads)
     lp = _round_up(seq_len, LANE)
     if seq_len > MAX_L:
         return False
-    return _vmem_bytes(lp, cp, hp, _blk_q(lp)) < _VMEM_TARGET
+    return (_vmem_bytes(lp, cp, hp, _blk_q(lp), False) < _VMEM_TARGET
+            and _vmem_bytes(lp, cp, hp, _blk_q(lp, 2 * 1024 * 1024), True)
+            < _VMEM_TARGET)
 
 
-def _pick_group(lp: int, cp: int, hp: int, blk_q: int) -> int:
-    per_row = (2 * 2 * lp * cp * 2 + 2 * lp * cp * 4
-               + 3 * lp * hp * 2 + lp * hp * 4)
-    fixed = 2 * lp * blk_q * 4 + (4 * hp) * cp * 2 + cp * cp * 4
-    g = max(1, (_VMEM_TARGET - fixed) // per_row)
+def _pick_group(lp: int, cp: int, hp: int, blk_q: int, bwd: bool) -> int:
+    fixed = _vmem_bytes(lp, cp, hp, blk_q, bwd)
+    per_row = 2 * (3 if bwd else 2) * lp * cp * 2 + \
+        ((10 if bwd else 2) * lp * cp * 4
+         + (6 if bwd else 3) * lp * hp * 2 + lp * hp * 4)
+    g = 1 + max(0, (_VMEM_TARGET - fixed) // per_row)
     return int(min(g, 16))
 
 
+def _norm_t(x32, bd_ref, gamma_ref, dpg: int, eps: float):
+    """fp32 RMSGroupNorm over channels (sublanes) via the block-diagonal
+    matmul (full 128-depth contraction)."""
+    sq = jax.lax.dot(bd_ref[...], x32 * x32,
+                     preferred_element_type=jnp.float32)
+    rms = jnp.sqrt(sq) * (dpg ** -0.5)
+    inv = 1.0 / (rms + eps)
+    return x32 * inv * gamma_ref[...], inv, rms
+
+
 def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-                 cos_ref, sin_ref, o_ref, *, n_heads: int, dp: int,
+                 cos_ref, sin_ref, seed_ref, o_ref, *, n_heads: int, dp: int,
                  dpg: int, eps: float, l_actual: int, blk_q: int,
-                 group: int, rope: bool):
+                 group: int, rope: bool, drop_rate: float):
     lp = x_ref.shape[-1]
     masked = lp != l_actual
     dt = wq_ref.dtype
@@ -104,12 +122,8 @@ def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         x32 = x_ref[gi].astype(jnp.float32)                    # [Cp, Lp]
         lane = jax.lax.broadcasted_iota(jnp.int32, x32.shape, 1)
         x32 = jnp.where(lane < l_actual, x32, 0.0)
-        # RMSGroupNorm over channels (sublanes): group sums via the
-        # block-diagonal matmul, full 128-depth contraction
-        sq = jax.lax.dot(bd_ref[...], x32 * x32,
-                         preferred_element_type=jnp.float32)
-        rms = jnp.sqrt(sq) * (dpg ** -0.5)
-        xn = (x32 / (rms + eps) * gamma_ref[...]).astype(dt)   # [Cp, Lp]
+        xn32, _, _ = _norm_t(x32, bd_ref, gamma_ref, dpg, eps)
+        xn = xn32.astype(dt)
 
         # packed projections: [Hp, Lp] each (softmax scale pre-folded in wq)
         q_all = jax.lax.dot(wq_ref[...], xn, preferred_element_type=jnp.float32).astype(dt)
@@ -146,38 +160,25 @@ def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
 
         out = jax.lax.dot(wo_ref[...], o_all,
                           preferred_element_type=jnp.float32)  # [Cp, Lp]
+        if drop_rate > 0.0:  # reference's post-projection dropout site
+            keep = _dropout_mask(seed_ref, group, gi, out.shape, drop_rate)
+            out = jnp.where(keep, out * (1.0 / (1.0 - drop_rate)), 0.0)
         o_ref[gi] = (x32 + out).astype(o_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def fused_attention_block(x, gamma, w_qkv, w_out, n_heads: int,
-                          num_groups: int, eps: float, rope: bool = True,
-                          theta: float = 10000.0):
-    """x ``[R, L, C]`` -> ``x + OutProj(MHSA(RMSGroupNorm(x)))`` ``[R, L, C]``.
-
-    gamma ``[C]`` is the pre-norm RMSGroupNorm scale (``x/(rms+eps)*gamma``
-    quirk preserved); ``w_qkv [3*A, C]`` / ``w_out [C, A]`` are the torch-
-    layout projection weights (reference ``mss_tflocoformer.py:485-486``).
-    """
-    return _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                         rope, theta)
-
-
-def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                  rope, theta):
+def _prep(x, gamma, w_qkv, w_out, n_heads, num_groups, rope, theta,
+          group, blk_q_bytes=4 * 1024 * 1024):
+    """Shared fwd/bwd host-side prep: transposed/padded rows, packed weight
+    panels (softmax scale folded into wq), block-diag norm matrix, RoPE
+    tables.  Returns a dict of kernel inputs + geometry."""
     r, seq_len, c = x.shape
-    a3 = w_qkv.shape[0]
-    attention_dim = a3 // 3
+    attention_dim = w_qkv.shape[0] // 3
     head_dim, cp, dp, hp = _dims(c, attention_dim, n_heads)
     lp = _round_up(seq_len, LANE)
-    blk_q = _blk_q(lp)
-    group = _pick_group(lp, cp, hp, blk_q)
-    rp = _round_up(r, group)
     scale = 1.0 / math.sqrt(head_dim)
     dt = x.dtype
+    rp = _round_up(r, group)
 
-    # transpose + pad rows into the [R, Cp, Lp] kernel layout (one fused
-    # XLA pass; everything downstream stays transposed in VMEM)
     x_t = jnp.pad(jnp.swapaxes(x, -1, -2),
                   ((0, rp - r), (0, cp - c), (0, lp - seq_len)))
 
@@ -192,9 +193,7 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
     wq = head_pack(w_qkv[:attention_dim], scale)
     wk = head_pack(w_qkv[attention_dim:2 * attention_dim])
     wv = head_pack(w_qkv[2 * attention_dim:])
-    # out proj consumes the packed-head layout: [Cp, Hp] with zero columns
-    # at the per-head padding (head_pack on w_out^T [A, C] -> [Hp, Cp])
-    wo = head_pack(w_out.T).T
+    wo = head_pack(w_out.T).T          # [Cp, Hp], zero cols at head padding
 
     gp = jnp.zeros((cp, 1), f32).at[:c, 0].set(gamma.astype(f32))
     group_of = np.full(cp, -1)
@@ -202,40 +201,277 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
     bd = jnp.asarray(((group_of[:, None] == group_of[None, :])
                       & (group_of[:, None] >= 0)).astype(np.float32))
 
+    cos = np.zeros((dp, lp), np.float32)
+    sin = np.zeros((dp, lp), np.float32)
     if rope:
         from ..rope import _tables_np
         cos_np, sin_np = _tables_np(seq_len, head_dim, theta)  # [L, D]
-        cos = np.zeros((dp, lp), np.float32)
-        sin = np.zeros((dp, lp), np.float32)
         cos[:head_dim, :seq_len] = cos_np.T
         sin[:head_dim, :seq_len] = sin_np.T
-    else:
-        cos = np.zeros((dp, lp), np.float32)
-        sin = np.zeros((dp, lp), np.float32)
+
+    return dict(r=r, seq_len=seq_len, c=c, head_dim=head_dim, cp=cp, dp=dp,
+                hp=hp, lp=lp, rp=rp, scale=scale, dt=dt, x_t=x_t, wq=wq,
+                wk=wk, wv=wv, wo=wo, gp=gp, bd=bd, cos=jnp.asarray(cos),
+                sin=jnp.asarray(sin), attention_dim=attention_dim)
+
+
+def _seed_arr(seed):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(seed, jnp.int32).reshape(1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_attention_block(x, gamma, w_qkv, w_out, n_heads: int,
+                          num_groups: int, eps: float, rope: bool = True,
+                          theta: float = 10000.0, drop_rate: float = 0.0,
+                          seed=None):
+    """x ``[R, L, C]`` -> ``x + Drop(OutProj(MHSA(RMSGroupNorm(x))))``.
+
+    gamma ``[C]`` is the pre-norm RMSGroupNorm scale (``x/(rms+eps)*gamma``
+    quirk preserved); ``w_qkv [3*A, C]`` / ``w_out [C, A]`` are the torch-
+    layout projection weights (reference ``mss_tflocoformer.py:485-486``).
+    With ``drop_rate > 0`` the post-projection dropout runs in-kernel from
+    the int32 ``seed [1]``; the backward replays the identical mask.
+    """
+    return _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
+                         rope, theta, drop_rate, seed)
+
+
+def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
+                  rope, theta, drop_rate=0.0, seed=None):
+    _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
+    lp = _round_up(x.shape[1], LANE)
+    blk_q = _blk_q(lp)
+    group = _pick_group(lp, cp, hp, blk_q, bwd=False)
+    geo = _prep(x, gamma, w_qkv, w_out, n_heads, num_groups, rope, theta,
+                group)
+    r, seq_len, c = geo["r"], geo["seq_len"], geo["c"]
+    rp, dt = geo["rp"], geo["dt"]
 
     row = lambda: pl.BlockSpec((group, cp, lp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, n_heads=n_heads, dp=dp,
+        functools.partial(_attn_kernel, n_heads=n_heads, dp=geo["dp"],
                           dpg=c // num_groups, eps=float(eps),
                           l_actual=seq_len, blk_q=blk_q, group=group,
-                          rope=rope),
+                          rope=rope, drop_rate=float(drop_rate)),
         grid=(rp // group,),
         in_specs=[row(), const((cp, 1)), const((cp, cp)),
                   const((hp, cp)), const((hp, cp)), const((hp, cp)),
-                  const((cp, hp)), const((dp, lp)), const((dp, lp))],
+                  const((cp, hp)), const((geo["dp"], lp)),
+                  const((geo["dp"], lp)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=row(),
         out_shape=jax.ShapeDtypeStruct((rp, cp, lp), dt),
-    )(x_t, gp, bd, wq, wk, wv, wo, jnp.asarray(cos), jnp.asarray(sin))
+    )(geo["x_t"], geo["gp"], geo["bd"], geo["wq"], geo["wk"], geo["wv"],
+      geo["wo"], geo["cos"], geo["sin"], _seed_arr(seed))
     return jnp.swapaxes(out[:r, :c, :seq_len], -1, -2)
+
+
+def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
+                     wo_ref, cos_ref, sin_ref, seed_ref, g_ref,
+                     dx_ref, dgamma_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref,
+                     *, n_heads: int, dp: int, dpg: int, eps: float,
+                     l_actual: int, blk_q: int, group: int, rope: bool,
+                     drop_rate: float):
+    lp = x_ref.shape[-1]
+    masked = lp != l_actual
+    dt = wq_ref.dtype
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dgamma_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    for gi in range(group):
+        x32 = x_ref[gi].astype(jnp.float32)                    # [Cp, Lp]
+        lane = jax.lax.broadcasted_iota(jnp.int32, x32.shape, 1)
+        live = lane < l_actual
+        x32 = jnp.where(live, x32, 0.0)
+        xn32, inv, rms = _norm_t(x32, bd_ref, gamma_ref, dpg, eps)
+        xn = xn32.astype(dt)
+
+        q_all = jax.lax.dot(wq_ref[...], xn, preferred_element_type=jnp.float32).astype(dt)
+        k_all = jax.lax.dot(wk_ref[...], xn, preferred_element_type=jnp.float32).astype(dt)
+        v_all = jax.lax.dot(wv_ref[...], xn, preferred_element_type=jnp.float32).astype(dt)
+
+        dz = jnp.where(live, g_ref[gi].astype(jnp.float32), 0.0)
+        dzd = dz
+        if drop_rate > 0.0:  # replay the forward's exact mask
+            keep = _dropout_mask(seed_ref, group, gi, dz.shape, drop_rate)
+            dzd = jnp.where(keep, dz * (1.0 / (1.0 - drop_rate)), 0.0)
+        dzd_c = dzd.astype(dt)
+
+        # d o_all = wo^T-contraction (contract Cp)          [Hp, Lp]
+        do_all = jax.lax.dot_general(
+            wo_ref[...], dzd_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        o_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
+        for h in range(n_heads):
+            sl = slice(h * dp, (h + 1) * dp)
+            q_t0, k_t0, v_t = q_all[sl], k_all[sl], v_all[sl]  # [dp, Lp]
+            k_t = _rope_t(k_t0, cos_ref[:], sin_ref[:], dp) if rope else k_t0
+            do_h = do_all[sl].astype(dt)                       # [dp, Lp]
+            dk_acc = jnp.zeros((dp, lp), jnp.float32)
+            dv_acc = jnp.zeros((dp, lp), jnp.float32)
+            o_blocks, dq_blocks = [], []
+            for qb in range(lp // blk_q):
+                qsl = slice(qb * blk_q, (qb + 1) * blk_q)
+                q_t = _rope_t(q_t0[:, qsl], cos_ref[:, qsl], sin_ref[:, qsl],
+                              dp) if rope else q_t0[:, qsl]
+                do_t = do_h[:, qsl]                            # [dp, BLK]
+                s = jax.lax.dot_general(
+                    k_t, q_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [Lp, BLK]
+                if masked:
+                    rowi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    s = jnp.where(rowi < l_actual, s, -1e30)
+                shift = _bounded_shift(q_t0[:, qsl], k_t0)     # same as fwd
+                p = jnp.exp2((s - shift) * _LOG2E)
+                p = p / jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
+                p_c = p.astype(dt)
+                o_blocks.append(jax.lax.dot_general(
+                    v_t, p_c, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))       # [dp, BLK]
+                dp_ = jax.lax.dot_general(
+                    v_t, do_t, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [Lp, BLK]
+                ds = p * (dp_ - jnp.sum(p * dp_, axis=0, keepdims=True))
+                ds_c = ds.astype(dt)
+                dq_blocks.append(jax.lax.dot_general(
+                    k_t, ds_c, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))       # [dp, BLK]
+                dk_acc += jax.lax.dot_general(
+                    q_t, ds_c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dv_acc += jax.lax.dot_general(
+                    do_t, p_c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            o_heads.append(o_blocks[0] if len(o_blocks) == 1
+                           else jnp.concatenate(o_blocks, axis=1))
+            dq_rot = (dq_blocks[0] if len(dq_blocks) == 1
+                      else jnp.concatenate(dq_blocks, axis=1))
+            if rope:  # back-rotate cotangents: R is orthogonal, R^-1=R(-th)
+                dq_rot = _rope_t(dq_rot, cos_ref[:], -sin_ref[:], dp)
+                dk_acc = _rope_t(dk_acc, cos_ref[:], -sin_ref[:], dp)
+            dq_heads.append(dq_rot)
+            dk_heads.append(dk_acc)
+            dv_heads.append(dv_acc)
+
+        def cat(blocks):
+            return (blocks[0] if len(blocks) == 1
+                    else jnp.concatenate(blocks, axis=0))
+
+        o_all = cat(o_heads).astype(dt)                        # [Hp, Lp]
+        dq_all = cat(dq_heads).astype(dt)
+        dk_all = cat(dk_heads).astype(dt)
+        dv_all = cat(dv_heads).astype(dt)
+
+        dwo_ref[...] += jax.lax.dot_general(
+            dzd_c, o_all, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [Cp, Hp]
+
+        # dxn = sum of wq^T dq + wk^T dk + wv^T dv (contract Hp)
+        dxn = jax.lax.dot_general(
+            wq_ref[...], dq_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dxn += jax.lax.dot_general(
+            wk_ref[...], dk_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dxn += jax.lax.dot_general(
+            wv_ref[...], dv_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [Cp, Lp]
+        dxn = jnp.where(live, dxn, 0.0)
+
+        xn_c = xn
+        dwq_ref[...] += jax.lax.dot_general(
+            dq_all, xn_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [Hp, Cp]
+        dwk_ref[...] += jax.lax.dot_general(
+            dk_all, xn_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwv_ref[...] += jax.lax.dot_general(
+            dv_all, xn_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # norm backward (channels on sublanes)
+        dgamma_ref[...] += jnp.sum(dxn * x32 * inv, axis=1, keepdims=True)
+        gdxn = dxn * gamma_ref[...]
+        t_grp = jax.lax.dot(bd_ref[...], gdxn * x32,
+                            preferred_element_type=jnp.float32)
+        rms_safe = jnp.maximum(rms, 1e-30)
+        dx_norm = gdxn * inv - x32 * t_grp * inv * inv / (dpg * rms_safe)
+        dx_ref[gi] = (jnp.where(live, dx_norm, 0.0) + dz).astype(dx_ref.dtype)
+
+
+def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
+                          rope, theta, drop_rate, seed, g):
+    _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
+    lp = _round_up(x.shape[1], LANE)
+    blk_q = _blk_q(lp, 2 * 1024 * 1024)
+    group = _pick_group(lp, cp, hp, blk_q, bwd=True)
+    geo = _prep(x, gamma, w_qkv, w_out, n_heads, num_groups, rope, theta,
+                group)
+    r, seq_len, c = geo["r"], geo["seq_len"], geo["c"]
+    rp, dt, dp = geo["rp"], geo["dt"], geo["dp"]
+    head_dim, a = geo["head_dim"], geo["attention_dim"]
+
+    g_t = jnp.pad(jnp.swapaxes(g.astype(dt), -1, -2),
+                  ((0, rp - r), (0, cp - c), (0, lp - seq_len)))
+
+    f32 = jnp.float32
+    row = lambda: pl.BlockSpec((group, cp, lp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, n_heads=n_heads, dp=dp,
+                          dpg=c // num_groups, eps=float(eps),
+                          l_actual=seq_len, blk_q=blk_q, group=group,
+                          rope=rope, drop_rate=float(drop_rate)),
+        grid=(rp // group,),
+        in_specs=[row(), const((cp, 1)), const((cp, cp)),
+                  const((hp, cp)), const((hp, cp)), const((hp, cp)),
+                  const((cp, hp)), const((dp, lp)), const((dp, lp)),
+                  pl.BlockSpec(memory_space=pltpu.SMEM), row()],
+        out_specs=(row(), const((cp, 1)), const((hp, cp)), const((hp, cp)),
+                   const((hp, cp)), const((cp, hp))),
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, cp, lp), dt),
+            jax.ShapeDtypeStruct((cp, 1), f32),
+            jax.ShapeDtypeStruct((hp, cp), f32),
+            jax.ShapeDtypeStruct((hp, cp), f32),
+            jax.ShapeDtypeStruct((hp, cp), f32),
+            jax.ShapeDtypeStruct((cp, hp), f32),
+        ),
+    )(geo["x_t"], geo["gp"], geo["bd"], geo["wq"], geo["wk"], geo["wv"],
+      geo["wo"], geo["cos"], geo["sin"], _seed_arr(seed), g_t)
+    dx_t, dgm, dwq, dwk, dwv, dwo = outs
+
+    dx = jnp.swapaxes(dx_t[:r, :c, :seq_len], -1, -2).astype(x.dtype)
+    dgamma = dgm[:c, 0].astype(gamma.dtype)
+
+    def head_unpack(wp, post_scale=1.0):  # [Hp, Cp] -> [A, C]
+        w = wp.reshape(n_heads, dp, cp)[:, :head_dim, :c]
+        return (w.reshape(a, c) * post_scale)
+
+    # wq panel carried the folded softmax scale: w_panel = w * scale, so
+    # dL/dw = scale * dL/dw_panel
+    dw_qkv = jnp.concatenate([
+        head_unpack(dwq, geo["scale"]), head_unpack(dwk), head_unpack(dwv),
+    ], axis=0).astype(w_qkv.dtype)
+    dw_out = head_unpack(dwo.T).T.astype(w_out.dtype)   # [Cp,Hp] -> [C, A]
+    return dx, dgamma, dw_qkv, dw_out
 
 
 def reference_attention_block(x, gamma, w_qkv, w_out, n_heads, num_groups,
                               eps, rope=True, theta=10000.0):
-    """Unfused composition (parity oracle AND the backward recompute path —
-    flash_attention inside carries its own Pallas backward)."""
+    """Unfused composition (parity oracle AND the drop-free backward
+    fallback — flash_attention inside carries its own Pallas backward)."""
     from .. import attention as attn_ops
     c = x.shape[-1]
     a = w_qkv.shape[0] // 3
@@ -257,19 +493,32 @@ def reference_attention_block(x, gamma, w_qkv, w_out, n_heads, num_groups,
     return x + o @ w_out.T.astype(x.dtype)
 
 
-def _attn_fwd(x, gamma, w_qkv, w_out, n_heads, num_groups, eps, rope, theta):
+def _attn_fwd(x, gamma, w_qkv, w_out, n_heads, num_groups, eps, rope, theta,
+              drop_rate, seed=None):
     out = _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                        rope, theta)
-    return out, (x, gamma, w_qkv, w_out)
+                        rope, theta, drop_rate, seed)
+    return out, (x, gamma, w_qkv, w_out, seed)
 
 
-def _attn_bwd(n_heads, num_groups, eps, rope, theta, res, g):
-    x, gamma, w_qkv, w_out = res
-    _, vjp = jax.vjp(
-        lambda *a: reference_attention_block(*a, n_heads, num_groups, eps,
-                                             rope, theta),
-        x, gamma, w_qkv, w_out)
-    return vjp(g)
+def _attn_bwd(n_heads, num_groups, eps, rope, theta, drop_rate, res, g):
+    x, gamma, w_qkv, w_out, seed = res
+    try:
+        grads = _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads,
+                                      num_groups, eps, rope, theta,
+                                      drop_rate, seed, g)
+    except Exception:
+        if drop_rate > 0.0:
+            raise  # the XLA fallback cannot replay the in-kernel mask
+        _, vjp = jax.vjp(
+            lambda *a: reference_attention_block(*a, n_heads, num_groups,
+                                                 eps, rope, theta),
+            x, gamma, w_qkv, w_out)
+        grads = vjp(g)
+    if seed is None:
+        d_seed = (None,)
+    else:
+        d_seed = (np.zeros(jnp.shape(seed), jax.dtypes.float0),)
+    return tuple(grads) + d_seed
 
 
 fused_attention_block.defvjp(_attn_fwd, _attn_bwd)
