@@ -231,13 +231,13 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
             keep2 = bits < jnp.int32(int((1.0 - drop_rate) * (1 << 31)))
             dz = jnp.where(keep2, dz * (1.0 / (1.0 - drop_rate)), 0.0)
         ddb_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
-        dz_c = dz.astype(dt)
 
         # deconv adjoint: dh = sum_j roll(dz, +j) @ wd_j^T
+        # (roll in fp32: the TPU rotate op only lowers for 32-bit data)
         dh = None
         dzr_list = []
         for j in range(k):
-            dzr = pltpu.roll(dz_c, j, 0) if j else dz_c
+            dzr = (pltpu.roll(dz, j, 0) if j else dz).astype(dt)
             dzr_list.append(dzr)
             t = jax.lax.dot_general(dzr, wd_ref[j], (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
