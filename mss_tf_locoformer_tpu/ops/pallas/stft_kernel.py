@@ -219,7 +219,20 @@ stft_pallas.defvjp(_stft_fwd, _stft_bwd)
 
 def supports_inverse(n_fft: int, hop: int, n_frames: int,
                      fast: bool = False) -> bool:
-    """Whether the fused irDFT+OLA kernel fits VMEM for this transform."""
+    """Whether the fused irDFT+OLA kernel fits VMEM for this transform.
+
+    Currently OPT-IN on real hardware (``MSS_TPU_FUSED_ISTFT=1``): the
+    kernel is parity-tested in interpret mode, but this backend's remote
+    Mosaic compiler spins ~30 min on it and aborts (UNAVAILABLE) — observed
+    with both the original dynamic-shift roll and the static per-tap
+    predicated rewrite — and the failed compile can wedge the device
+    tunnel.  The XLA iSTFT it would replace costs ~2 ms/call at bench
+    shapes, so the model keeps the XLA path until the miscompile is
+    understood."""
+    import os
+    from . import on_tpu
+    if on_tpu() and os.environ.get("MSS_TPU_FUSED_ISTFT") != "1":
+        return False
     if n_fft % hop or hop % LANE or n_fft % LANE or n_fft // hop > 8:
         return False
     n_pad = _round_up(n_frames, BLK_N) + 8

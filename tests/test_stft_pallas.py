@@ -13,6 +13,21 @@ from mss_tf_locoformer_tpu.ops.pallas import stft_kernel as K
 
 CONFIGS = [(2048, 512), (1024, 256), (2048, 1024), (4096, 1024)]
 
+# The fused irDFT+OLA kernel is interpret-mode only for now: this backend's
+# remote Mosaic compiler aborts on it (see supports_inverse docstring), and
+# interpret mode on the TPU backend still routes through the remote compile.
+_TPU = jax.default_backend() == "tpu"
+_ola_interpret_only = pytest.mark.skipif(
+    _TPU, reason="fused iSTFT+OLA: backend Mosaic compiler aborts; "
+                 "interpret-mode (CPU) parity only")
+
+
+def _ctx():
+    """Interpret mode on CPU; REAL kernels on the TPU backend (interpret
+    mode there still round-trips the remote compiler and is flaky)."""
+    import contextlib
+    return contextlib.nullcontext() if _TPU else pltpu.force_tpu_interpret_mode()
+
 
 @pytest.mark.parametrize("n_fft,hop", CONFIGS)
 def test_supports_shipped_configs(n_fft, hop):
@@ -24,12 +39,18 @@ def test_unsupported_fallback_cases():
     assert not K.supports(1000, 250, 8000)  # non-128-multiple hop
 
 
+def _fetch_complex(x):
+    """Complex D2H is unimplemented over remote-device tunnels: fetch the
+    real and imaginary parts separately and recombine on host."""
+    return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+
+
 @pytest.mark.parametrize("n_fft,hop", CONFIGS)
 def test_stft_matches_jnp(rng, n_fft, hop):
     audio = rng.standard_normal((2, 3 * n_fft + 517), dtype=np.float32)
-    want = np.asarray(S.stft(jnp.asarray(audio), n_fft, hop))
-    with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(K.stft_pallas(jnp.asarray(audio), n_fft, hop))
+    want = _fetch_complex(S.stft(jnp.asarray(audio), n_fft, hop))
+    with _ctx():
+        got = _fetch_complex(K.stft_pallas(jnp.asarray(audio), n_fft, hop))
     assert got.shape == want.shape
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=1e-4)
@@ -41,7 +62,7 @@ def test_istft_matches_jnp(rng, n_fft, hop):
     audio = rng.standard_normal((2, t), dtype=np.float32)
     spec = S.stft(jnp.asarray(audio), n_fft, hop)
     want = np.asarray(S.istft(spec, n_fft, hop, length=t))
-    with pltpu.force_tpu_interpret_mode():
+    with _ctx():
         got = np.asarray(K.istft_pallas(spec, n_fft, hop, t))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
@@ -60,7 +81,7 @@ def test_stft_grad_matches_jnp(rng):
         return jnp.sum(jnp.abs(K.stft_pallas(a, n_fft, hop)) ** 2)
 
     g_ref = np.asarray(jax.grad(loss_ref)(jnp.asarray(audio)))
-    with pltpu.force_tpu_interpret_mode():
+    with _ctx():
         g_pal = np.asarray(jax.grad(loss_pal)(jnp.asarray(audio)))
     np.testing.assert_allclose(g_pal, g_ref, atol=1e-2, rtol=1e-3)
 
@@ -78,7 +99,7 @@ def test_istft_grad_matches_jnp(rng):
         return jnp.sum(K.istft_pallas(s, n_fft, hop, t) ** 2)
 
     g_ref = jax.grad(loss_ref)(spec)
-    with pltpu.force_tpu_interpret_mode():
+    with _ctx():
         g_pal = jax.grad(loss_pal)(spec)
     # complex D2H is unimplemented over remote-device tunnels: split on device
     for part in (jnp.real, jnp.imag):
@@ -100,13 +121,14 @@ def test_model_with_fused_stft_matches(rng):
     params = ref_model.init(jax.random.PRNGKey(0), mixture)
     want = ref_model.apply(params, mixture)
     fused_model = TFLocoformerMSS(ModelConfig(**kw, fused_stft=True))
-    with pltpu.force_tpu_interpret_mode():
+    with _ctx():
         got = fused_model.apply(params, mixture)
     for k in want:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    atol=5e-4, rtol=1e-3)
 
 
+@_ola_interpret_only
 @pytest.mark.parametrize("n_fft,hop", [(2048, 512), (1024, 256)])
 def test_istft_ola_fused_parity(rng, n_fft, hop):
     """Fully fused irDFT+window+OLA kernel vs the jnp istft (1e-5)."""
@@ -116,17 +138,18 @@ def test_istft_ola_fused_parity(rng, n_fft, hop):
     spec = S.stft(jnp.asarray(x), n_fft, hop)
     assert K.supports_inverse(n_fft, hop, spec.shape[-1])
     want = np.asarray(S.istft(spec, n_fft, hop, length=t))
-    with pltpu.force_tpu_interpret_mode():
+    with _ctx():
         got = np.asarray(K.istft_ola_pallas(spec, n_fft, hop, length=t))
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@_ola_interpret_only
 def test_istft_ola_roundtrip(rng):
     """stft -> fused istft reconstructs the signal (COLA)."""
     from mss_tf_locoformer_tpu.ops import stft as S
     t = 16000
     x = rng.standard_normal((1, t)).astype(np.float32)
     spec = S.stft(jnp.asarray(x), 1024, 256)
-    with pltpu.force_tpu_interpret_mode():
+    with _ctx():
         y = np.asarray(K.istft_ola_pallas(spec, 1024, 256, length=t))
     np.testing.assert_allclose(y, x, atol=1e-4)
