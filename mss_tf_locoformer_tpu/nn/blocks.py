@@ -69,8 +69,10 @@ class LocoformerBlock(nn.Module):
 
         fuse_step = [block_step_applicable(self.norm_type, t, self.fused_ffn,
                                            self.conv1d_kernel,
-                                           self.conv1d_shift)
-                     for t in types]
+                                           self.conv1d_shift, s2, d,
+                                           self.emb_dim,
+                                           needs_bwd=not deterministic)
+                     for t, d in zip(types, dims)]
         ffns = [
             (nn.remat(_FFN[t], static_argnums=(2,)) if self.remat_ffn
              else _FFN[t])(

@@ -37,12 +37,21 @@ __all__ = ["SwiGLUConvDeconv1d", "ConvDeconv1d", "block_step_applicable"]
 
 
 def block_step_applicable(norm_type: str, ffn_type: str, use_fused: bool,
-                          kernel: int, shift: int) -> bool:
+                          kernel: int, shift: int, seq_len: int,
+                          hidden_dim: int, emb_dim: int,
+                          needs_bwd: bool = True) -> bool:
     """Whether the fully fused norm+FFN+residual kernel serves this step
-    (the block passes the pre-norm scale into the FFN when it does)."""
+    (the block passes the pre-norm scale into the FFN when it does).
+    Shape-gated on the scoped-VMEM limit: training (``needs_bwd``) also
+    requires the backward kernel to fit — otherwise the step runs as
+    norm + the plain fused FFN kernel, both VMEM-safe on their own."""
     from ..ops.pallas import on_tpu
+    from ..ops.pallas.swiglu_block import supports_step
     return (use_fused and on_tpu() and norm_type == "rmsgroupnorm"
-            and ffn_type == "swiglu_conv1d" and swiglu_ffn.supports(kernel, shift))
+            and ffn_type == "swiglu_conv1d"
+            and swiglu_ffn.supports(kernel, shift)
+            and supports_step(seq_len, emb_dim, hidden_dim, kernel,
+                              bwd=needs_bwd))
 
 
 def _pad_len(s2: int, kernel: int, shift: int) -> int:

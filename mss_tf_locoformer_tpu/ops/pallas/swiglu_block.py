@@ -37,11 +37,44 @@ __all__ = ["fused_norm_ffn_residual", "supports"]
 _OUTER_SEED_OFFSET = 0x5bd1e995  # decorrelates the two dropout sites
 
 
+def _bwd_fixed_bytes(lp: int, cp: int, ip: int, k: int) -> int:
+    """Group-independent live bytes of the backward kernel (measured
+    calibration: the compiler found 17.1 MiB at lp 1056 / ip 384 / k 4 with
+    the per-tap stash lists; ~2.2 MiB of that was the lists, now
+    recomputed)."""
+    inter = 8 * lp * ip * 4          # yv/yg/dh/dyv/dyg fp32 + bf16 casts
+    inter += 5 * lp * cp * 4         # x32/xn/dz/dxn/t_grp
+    w_bytes = 3 * k * cp * ip * 2 + 3 * k * cp * ip * 4
+    return inter + w_bytes
+
+
+def supports_step(s2: int, c: int, inner: int, k: int,
+                  bwd: bool = True) -> bool:
+    """Whether the fused norm+FFN+residual kernel fits the 16 MiB
+    scoped-VMEM limit at this shape.  ``bwd=True`` additionally requires
+    the backward kernel to fit (training); inference-only callers pass
+    ``bwd=False`` — the forward fits at larger shapes, and the rare
+    gradient through a deterministic forward falls back to an unfused
+    recompute.  When unsupported, the block runs norm + the plain fused
+    FFN kernel (separate ops, both VMEM-safe)."""
+    lp = _round_up(s2, SUBLANE) + SUBLANE
+    cp = _round_up(c, LANE)
+    ip = _round_up(inner, LANE)
+    if bwd:
+        io_row = 2 * 3 * lp * cp * 2
+        return _bwd_fixed_bytes(lp, cp, ip, k) + io_row < _VMEM_TARGET
+    io_row = 2 * 2 * lp * cp * 2
+    fwd_fixed = 5 * lp * ip * 4 + 3 * k * cp * ip * 2
+    return fwd_fixed + io_row < _VMEM_TARGET
+
+
 def _pick_group(lp: int, cp: int, ip: int, k: int, bwd: bool) -> int:
     io_row = 2 * (3 if bwd else 2) * lp * cp * 2
-    inter = (8 if bwd else 5) * lp * ip * 4
-    w_bytes = 3 * k * cp * ip * 2 + (3 * k * cp * ip * 4 if bwd else 0)
-    g = max(1, (_VMEM_TARGET - inter - w_bytes) // io_row)
+    if bwd:
+        budget = _VMEM_TARGET - _bwd_fixed_bytes(lp, cp, ip, k)
+    else:
+        budget = _VMEM_TARGET - 5 * lp * ip * 4 - 3 * k * cp * ip * 2
+    g = max(1, budget // io_row)
     return int(min(g, 32))
 
 
@@ -209,14 +242,12 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
         # recompute conv + gate
         yv = bv_ref[...].astype(jnp.float32)
         yg = bg_ref[...].astype(jnp.float32)
-        xs_list = []
         for j in range(k):
             sh = diff_ks - j
-            xs = pltpu.roll(xn, sh, 0) if sh else xn
-            xs_list.append(xs.astype(dt))
-            yv = yv + jax.lax.dot(xs_list[j], wv_ref[j],
+            xs = (pltpu.roll(xn, sh, 0) if sh else xn).astype(dt)
+            yv = yv + jax.lax.dot(xs, wv_ref[j],
                                   preferred_element_type=jnp.float32)
-            yg = yg + jax.lax.dot(xs_list[j], wg_ref[j],
+            yg = yg + jax.lax.dot(xs, wg_ref[j],
                                   preferred_element_type=jnp.float32)
         row_i = jax.lax.broadcasted_iota(jnp.int32, yv.shape, 0)
         live_h = row_i < l1
@@ -233,12 +264,12 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
         ddb_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
 
         # deconv adjoint: dh = sum_j roll(dz, +j) @ wd_j^T
-        # (roll in fp32: the TPU rotate op only lowers for 32-bit data)
+        # (roll in fp32: the TPU rotate op only lowers for 32-bit data;
+        # rolls are recomputed where needed rather than stashed per tap —
+        # the k live [Lp, Cp] copies were ~2 MiB of scoped VMEM)
         dh = None
-        dzr_list = []
         for j in range(k):
             dzr = (pltpu.roll(dz, j, 0) if j else dz).astype(dt)
-            dzr_list.append(dzr)
             t = jax.lax.dot_general(dzr, wd_ref[j], (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             dh = t if dh is None else dh + t
@@ -286,14 +317,17 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
                       ).astype(dx_ref.dtype)
 
         for j in range(k):
+            sh = diff_ks - j
+            xs = (pltpu.roll(xn, sh, 0) if sh else xn).astype(dt)
+            dzr = (pltpu.roll(dz, j, 0) if j else dz).astype(dt)
             dwv_ref[j] += jax.lax.dot_general(
-                xs_list[j], dyv_c, (((0,), (0,)), ((), ())),
+                xs, dyv_c, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dwg_ref[j] += jax.lax.dot_general(
-                xs_list[j], dyg_c, (((0,), (0,)), ((), ())),
+                xs, dyg_c, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dwd_ref[j] += jax.lax.dot_general(
-                gate, dzr_list[j], (((0,), (0,)), ((), ())),
+                gate, dzr, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         dbv_ref[...] += jnp.sum(dyv, axis=0, keepdims=True)
         dbg_ref[...] += jnp.sum(dyg, axis=0, keepdims=True)
@@ -374,8 +408,19 @@ def _blk_fwd(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
 
 def _blk_bwd(kernel, num_groups, eps, drop_rate, res, g):
     x, gamma, conv_w, conv_b, deconv_w, deconv_b, seed = res
-    grads = _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b,
-                          kernel, num_groups, eps, drop_rate, seed, g)
+    try:
+        grads = _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b,
+                              kernel, num_groups, eps, drop_rate, seed, g)
+    except Exception:
+        if drop_rate > 0.0:
+            raise  # the unfused fallback cannot replay the in-kernel mask
+        # deterministic forward differentiated at a shape whose backward
+        # kernel exceeds scoped VMEM: recompute through the unfused math
+        _, vjp = jax.vjp(
+            lambda *a: reference_norm_ffn_residual(*a, kernel, num_groups,
+                                                   eps),
+            x, gamma, conv_w, conv_b, deconv_w, deconv_b)
+        grads = vjp(g)
     if seed is None:
         d_seed = (None,)
     else:
