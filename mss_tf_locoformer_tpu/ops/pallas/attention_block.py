@@ -44,6 +44,12 @@ __all__ = ["fused_attention_block", "supports_block",
 
 _HEAD_PAD = 32
 _VMEM_TARGET = 13 * 1024 * 1024
+# Forward runs whole-row q-blocks when they fit (measured 27% faster at the
+# flash-kernel level than 384-wide blocks); its budget is pushed closer to
+# the 16 MiB scoped-VMEM limit than the backward's (est. runs ~4% low vs
+# the compiler's scoped accounting).
+_FWD_BLK_BUDGET = 11 * 1024 * 1024
+_VMEM_TARGET_FWD = 15 * 1024 * 1024
 
 
 def _dims(emb_dim: int, attention_dim: int, n_heads: int):
@@ -87,7 +93,8 @@ def supports_block(emb_dim: int, attention_dim: int, n_heads: int,
     lp = _round_up(seq_len, LANE)
     if seq_len > MAX_L:
         return False
-    return (_vmem_bytes(lp, cp, hp, _blk_q(lp), False) < _VMEM_TARGET
+    return (_vmem_bytes(lp, cp, hp, _blk_q(lp, _FWD_BLK_BUDGET), False)
+            < _VMEM_TARGET_FWD
             and _vmem_bytes(lp, cp, hp, _blk_q(lp, 2 * 1024 * 1024), True)
             < _VMEM_TARGET)
 
@@ -97,7 +104,8 @@ def _pick_group(lp: int, cp: int, hp: int, blk_q: int, bwd: bool) -> int:
     per_row = 2 * (3 if bwd else 2) * lp * cp * 2 + \
         ((10 if bwd else 2) * lp * cp * 4
          + (6 if bwd else 3) * lp * hp * 2 + lp * hp * 4)
-    g = 1 + max(0, (_VMEM_TARGET - fixed) // per_row)
+    target = _VMEM_TARGET if bwd else _VMEM_TARGET_FWD
+    g = 1 + max(0, (target - fixed) // per_row)
     return int(min(g, 16))
 
 
@@ -242,7 +250,7 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
                   rope, theta, drop_rate=0.0, seed=None):
     _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
     lp = _round_up(x.shape[1], LANE)
-    blk_q = _blk_q(lp)
+    blk_q = _blk_q(lp, _FWD_BLK_BUDGET)
     group = _pick_group(lp, cp, hp, blk_q, bwd=False)
     geo = _prep(x, gamma, w_qkv, w_out, n_heads, num_groups, rope, theta,
                 group)
