@@ -6,6 +6,9 @@ pre-norm island, the fused QKV projection, per-head RoPE + flash attention
 (transposed layout, bounded-shift softmax — see ``flash_attention.py``),
 the head-aggregate output projection, the reference's post-projection
 dropout (``:489``), and the residual add all run on VMEM-resident rows.
+NB the reference ALSO drops attention probabilities inside SDPA
+(``:524-531``); that site is intentionally omitted framework-wide — see
+PERFORMANCE.md "Dropout-site divergence".
 Measured on v5e the unfused XLA side of an MHSA call (projections +
 head-layout moves around the flash kernel) cost ~11 ms at freq-path shapes
 and ~17 ms at time-path shapes — pure HBM round-trips of Q/K/V/O-sized
@@ -35,8 +38,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import (LANE, MAX_L, _LOG2E, _bounded_shift, _rope_t,
-                              _round_up)
+from .flash_attention import (LANE, MAX_L, _bounded_shift, _diag_lb,
+                              _rope_t, _round_up, _softmax_num)
 from .swiglu_ffn import _dropout_mask
 
 __all__ = ["fused_attention_block", "supports_block",
@@ -154,8 +157,9 @@ def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                 if masked:  # padded KEY rows
                     row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     s = jnp.where(row < l_actual, s, -1e30)
-                shift = _bounded_shift(q_t0[:, qsl], k_t0)
-                p = jnp.exp2((s - shift) * _LOG2E)
+                shift = _bounded_shift(q_t0[:, qsl], k_t0,
+                                       lb=_diag_lb(q_t, k_t, qsl))
+                p = _softmax_num(s, shift)
                 denom = jnp.sum(p, axis=0, keepdims=True)
                 acc = jax.lax.dot_general(
                     v_t, p.astype(v_t.dtype), (((1,), (0,)), ((), ())),
@@ -338,8 +342,9 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                 if masked:
                     rowi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     s = jnp.where(rowi < l_actual, s, -1e30)
-                shift = _bounded_shift(q_t0[:, qsl], k_t0)     # same as fwd
-                p = jnp.exp2((s - shift) * _LOG2E)
+                shift = _bounded_shift(q_t0[:, qsl], k_t0,     # same as fwd
+                                       lb=_diag_lb(q_t, k_t, qsl))
+                p = _softmax_num(s, shift)
                 p = p / jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
                 p_c = p.astype(dt)
                 o_blocks.append(jax.lax.dot_general(
@@ -514,9 +519,11 @@ def _attn_bwd(n_heads, num_groups, eps, rope, theta, drop_rate, res, g):
         grads = _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads,
                                       num_groups, eps, rope, theta,
                                       drop_rate, seed, g)
-    except Exception:
+    except Exception as e:
         if drop_rate > 0.0:
             raise  # the XLA fallback cannot replay the in-kernel mask
+        from . import warn_fallback
+        warn_fallback("attention_block.bwd", e)
         _, vjp = jax.vjp(
             lambda *a: reference_attention_block(*a, n_heads, num_groups,
                                                  eps, rope, theta),

@@ -88,10 +88,12 @@ def _rope_t(x, cos_t, sin_t, dp):
 
 
 _LOG2E = 1.4426950408889634
-_SHIFT_MARGIN = 80.0  # max exponent after the bounded shift; fp32 holds 88
+_SHIFT_MARGIN = 65.0  # natural-log headroom for the max entry (65*log2e < cap)
+_LB_MARGIN = 40.0     # headroom above the diag lower bound (see docstring)
+_EXP2_CAP = 100.0     # saturating exp2: p <= 2^100, denom <= L*2^100 < fp32 max
 
 
-def _bounded_shift(q_t, k_t, scale: float = 1.0):
+def _bounded_shift(q_t, k_t, scale: float = 1.0, lb=None):
     """Per-query-column softmax shift WITHOUT a max pass over the scores
     (measured 18.4 -> 12.7 ms at freq-path shapes — the cross-sublane max
     over [Lp, BLK] fp32 was ~30% of kernel time).  Softmax is exactly
@@ -101,12 +103,48 @@ def _bounded_shift(q_t, k_t, scale: float = 1.0):
     ``max(bound - 80, 0)``: the largest exponent stays <= 80 (no overflow);
     entries more than ~103 below the shift underflow to 0, which is where
     softmax sends them anyway.  RoPE preserves norms, so the bound holds
-    for rotated q/k too."""
+    for rotated q/k too.
+
+    ``lb`` (a ``[1, BLK]`` exact LOWER bound on each column's row max — the
+    diagonal score ``q_j . k_j``, free on the VPU) guards the loose bound:
+    the Cauchy-Schwarz gap is unbounded, and a gap past ~167 used to
+    underflow EVERY probability, silently returning all-zero attention
+    (round-2 advisor finding).  The guarded shift is
+    ``min(shift_raw, lb + 40)``: the max entry's probability is always
+    ``>= exp(-40) ~= 2^-58`` (no silent zeros possible), and since entries
+    more than ~60 below the max never matter (< 2^-87 relative mass), the
+    result equals the exact softmax everywhere the score spread allows a
+    single fp32 shift.  Overflow when ``max >> lb`` is prevented NOT by the
+    shift but by the saturating :func:`_softmax_num` exponent cap — so no
+    regime produces inf/NaN or all-zero rows; scores spreading >69 natural
+    units above ``lb + 40`` (unreachable for the shipped models, whose
+    scores span well under that) flatten onto the cap instead."""
     kn = jnp.sum(k_t.astype(jnp.float32) ** 2, axis=0, keepdims=True)
     kmax = jnp.sqrt(jnp.max(kn))                                  # scalar
     qn = jnp.sqrt(jnp.sum(q_t.astype(jnp.float32) ** 2, axis=0,
                           keepdims=True))                         # [1, BLK]
-    return jnp.maximum(qn * kmax * scale - _SHIFT_MARGIN, 0.0)
+    shift = jnp.maximum(qn * kmax * scale - _SHIFT_MARGIN, 0.0)
+    if lb is not None:
+        shift = jnp.minimum(shift, lb + _LB_MARGIN)
+    return shift
+
+
+def _softmax_num(s, shift):
+    """Softmax numerator ``exp2`` with a saturating exponent: the cap makes
+    fp32 overflow impossible for ANY shift (denominator <= L * 2^100, the
+    PV accumulation stays finite), replacing the old hard overflow margin.
+    It never engages within ``_SHIFT_MARGIN`` of headroom — normal operation
+    is bit-identical to the uncapped kernel."""
+    return jnp.exp2(jnp.minimum((s - shift) * _LOG2E, _EXP2_CAP))
+
+
+def _diag_lb(q_t_rot, k_t_rot, qsl):
+    """Exact per-column lower bound on the row max of ``S^T = K^T Q``: the
+    diagonal score of this q-block, computed as an elementwise product +
+    sublane sum of the ALIGNED (rotated, scaled) q/k columns."""
+    return jnp.sum(q_t_rot.astype(jnp.float32)
+                   * k_t_rot[:, qsl].astype(jnp.float32),
+                   axis=0, keepdims=True)
 
 
 def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale: float,
@@ -119,9 +157,9 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale: float,
         v_t = v_ref[gi]
         k_t = _rope_t(k_t0, cos_ref[:], sin_ref[:], dp) if rope else k_t0
         for qb in range(lp // blk_q):
-            q_t0 = q_ref[gi, :, qb * blk_q:(qb + 1) * blk_q]  # [Dp, BLK]
-            q_t = _rope_t(q_t0, cos_ref[:, qb * blk_q:(qb + 1) * blk_q],
-                          sin_ref[:, qb * blk_q:(qb + 1) * blk_q], dp) \
+            qsl = slice(qb * blk_q, (qb + 1) * blk_q)
+            q_t0 = q_ref[gi, :, qsl]                          # [Dp, BLK]
+            q_t = _rope_t(q_t0, cos_ref[:, qsl], sin_ref[:, qsl], dp) \
                 if rope else q_t0
             # S^T [Lp, BLK]: contraction over D (sublane axis of both)
             s = jax.lax.dot_general(
@@ -132,9 +170,12 @@ def _kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, o_ref, *, scale: float,
                 row = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=0)
                 s = jnp.where(row < l_actual, s, -1e30)
             # norms on the UNROTATED q/k (RoPE is norm-preserving); q already
-            # carries the pre-folded softmax scale
-            shift = _bounded_shift(q_t0, k_t0, scale)
-            p = jnp.exp2((s - shift) * _LOG2E)
+            # carries the pre-folded softmax scale.  NB ``scale`` here is the
+            # post-matmul score scale (1.0 when folded into q), so the diag
+            # lower bound must match it too.
+            shift = _bounded_shift(q_t0, k_t0, scale,
+                                   lb=_diag_lb(q_t, k_t, qsl) * scale)
+            p = _softmax_num(s, shift)
             denom = jnp.sum(p, axis=0, keepdims=True)  # [1, BLK]
             # O^T [Dp, BLK] = V_t @ P: contraction over Lp (full MXU depth)
             acc = jax.lax.dot_general(
@@ -238,8 +279,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
             if masked:
                 row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                 s = jnp.where(row < l_actual, s, -1e30)
-            shift = _bounded_shift(q_t, k_t)  # same max-free recompute
-            p = jnp.exp2((s - shift) * _LOG2E)
+            # same max-free recompute as forward (diag-guarded)
+            shift = _bounded_shift(q_t, k_t, lb=_diag_lb(q_t, k_t, sl))
+            p = _softmax_num(s, shift)
             p = p / jnp.maximum(jnp.sum(p, axis=0, keepdims=True),
                                 1e-30)                           # [Lp, BLK]
             dp = jax.lax.dot_general(v_t, do_t, (((0,), (0,)), ((), ())),
@@ -318,7 +360,9 @@ def _flash_bwd(rope, theta, residuals, g):
     q, k, v = residuals
     try:
         return _flash_backward_pallas(q, k, v, g, rope, theta)
-    except Exception:
+    except Exception as e:
+        from . import warn_fallback
+        warn_fallback("flash_attention.bwd", e)
         from ..attention import _chunked_attention
         from ..rope import apply_rope
 

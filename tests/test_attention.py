@@ -165,3 +165,81 @@ def test_rope_inverse_roundtrip(rng):
     x = rng.standard_normal((3, 50, 24)).astype(np.float32)
     y = apply_rope(apply_rope(x), inverse=True)
     np.testing.assert_allclose(np.asarray(y), x, atol=1e-5)
+
+
+def test_bounded_shift_guard_adversarial_norms(rng):
+    """Round-2 advisor finding: a high-norm / low-correlation outlier key
+    makes the Cauchy-Schwarz shift exceed the true row max by hundreds —
+    the unguarded kernel underflowed EVERY probability and silently
+    returned all-zero attention.  The diag-clamped shift must recover the
+    exact softmax (fwd AND bwd)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from mss_tf_locoformer_tpu.ops.pallas import flash_attention as FA
+
+    d, l = 32, 256
+    q = (0.5 * rng.standard_normal((1, 1, l, d))).astype(np.float32)
+    k = (0.5 * rng.standard_normal((1, 1, l, d))).astype(np.float32)
+    v = (0.5 * rng.standard_normal((1, 1, l, d))).astype(np.float32)
+    q[..., 0] = 0.0          # queries orthogonal to the outlier direction
+    k[..., 0] = 0.0
+    k[..., 5, :] = 0.0
+    k[..., 5, 0] = 4096.0    # ||k_5|| = 4096 -> bound ~ ||q|| * 4096 / sqrt(d)
+
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    want = np.asarray(_xla_attention(qj, kj, vj))
+    assert np.abs(want).max() > 1e-3  # the oracle itself is non-degenerate
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(FA.flash_attention(qj, kj, vj))
+    assert np.abs(got).max() > 1e-3, "guarded kernel still underflows to zero"
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
+
+    def loss_flash(a, b, c):
+        return jnp.sum(FA.flash_attention(a, b, c) ** 2)
+
+    def loss_xla(a, b, c):
+        return jnp.sum(_xla_attention(a, b, c) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(qj, kj, vj)
+    g_ref = jax.grad(loss_xla, argnums=(0, 1, 2))(qj, kj, vj)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        scale = max(np.abs(np.asarray(b)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3 * scale, rtol=5e-3,
+                                   err_msg=f"d{name}")
+
+
+def test_bounded_shift_guard_fused_block(rng):
+    """Same adversarial regime through the fused attention-step kernel: the
+    key projection amplifies channel 0 ~1000x, one normed row points along
+    channel 0 (huge ||k||), and the query projection is blind to channel 0
+    (low correlation) — the Cauchy-Schwarz bound lands ~270 above the true
+    scores, which zeroed every probability before the diag guard."""
+    from jax.experimental.pallas import tpu as pltpu
+    from mss_tf_locoformer_tpu.ops.pallas import attention_block as AB
+
+    r, l, c, a, h = 1, 128, 32, 32, 1
+    x = (0.5 * rng.standard_normal((r, l, c))).astype(np.float32)
+    x[..., 0] = 0.0
+    x[0, 7, :] = 0.0
+    x[0, 7, 0] = 1.0         # post-norm this row points along channel 0
+    gamma = (1.0 + 0.05 * rng.standard_normal(c)).astype(np.float32)
+    wq = (0.3 * rng.standard_normal((a, c)) / np.sqrt(c)).astype(np.float32)
+    wq[0, :] = 0.0           # q[0] == 0 for every position: q . k_7 == 0
+    wk = np.eye(a, c, dtype=np.float32)
+    wk[0, 0] = 1000.0        # ||k_7|| ~ 2800 -> bound >> true max
+    wv = (0.5 * rng.standard_normal((a, c)) / np.sqrt(c)).astype(np.float32)
+    w_qkv = np.concatenate([wq, wk, wv], axis=0)
+    w_out = (rng.standard_normal((c, a)) / np.sqrt(a)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (x, gamma, w_qkv, w_out)))
+
+    want = np.asarray(AB.reference_attention_block(*args, h, 4, 1e-5, False))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(AB.fused_attention_block(*args, h, 4, 1e-5, False))
+    # the residual dominates |out|; compare the attention contribution
+    delta_w = want - np.asarray(x)
+    delta_g = got - np.asarray(x)
+    assert np.abs(delta_g).max() > 1e-4, "attention output underflowed to zero"
+    scale = max(np.abs(delta_w).max(), 1.0)
+    np.testing.assert_allclose(delta_g, delta_w, atol=2e-3 * scale, rtol=1e-2)
