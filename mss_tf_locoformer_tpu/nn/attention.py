@@ -31,8 +31,9 @@ def attn_step_applicable(norm_type: str, flash_attention: bool,
                          seq_len: int) -> bool:
     """Whether the fully fused norm+MHSA+residual kernel serves this step
     (the block passes the pre-norm scale into the attention when it does)."""
-    from ..ops.pallas import on_tpu
-    if not (flash_attention and on_tpu() and norm_type == "rmsgroupnorm"):
+    from ..ops.pallas import pallas_enabled
+    if not (flash_attention and pallas_enabled()
+            and norm_type == "rmsgroupnorm"):
         return False
     from ..ops.pallas.attention_block import supports_block
     return supports_block(emb_dim, attention_dim, n_heads, seq_len)

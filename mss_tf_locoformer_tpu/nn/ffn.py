@@ -45,9 +45,9 @@ def block_step_applicable(norm_type: str, ffn_type: str, use_fused: bool,
     Shape-gated on the scoped-VMEM limit: training (``needs_bwd``) also
     requires the backward kernel to fit — otherwise the step runs as
     norm + the plain fused FFN kernel, both VMEM-safe on their own."""
-    from ..ops.pallas import on_tpu
+    from ..ops.pallas import pallas_enabled
     from ..ops.pallas.swiglu_block import supports_step
-    return (use_fused and on_tpu() and norm_type == "rmsgroupnorm"
+    return (use_fused and pallas_enabled() and norm_type == "rmsgroupnorm"
             and ffn_type == "swiglu_conv1d"
             and swiglu_ffn.supports(kernel, shift)
             and supports_step(seq_len, emb_dim, hidden_dim, kernel,
@@ -102,8 +102,9 @@ class SwiGLUConvDeconv1d(nn.Module):
         diff_ks = k - shift
         x = x.reshape(b * s1, s2, h)
 
-        from ..ops.pallas import on_tpu
-        fused_ok = self.use_fused and on_tpu() and swiglu_ffn.supports(k, shift)
+        from ..ops.pallas import pallas_enabled
+        fused_ok = (self.use_fused and pallas_enabled()
+                    and swiglu_ffn.supports(k, shift))
         drop_rate = 0.0 if deterministic else self.dropout
         cw = _ConvParams((self.dim_inner * 2, self.dim, k),
                          fan_in=self.dim * k, bias_dim=self.dim_inner * 2,

@@ -86,14 +86,16 @@ def dot_product_attention(
     kernel (flash backend only); non-flash callers must pre-rotate.
     """
     if backend == "flash":
-        from .pallas import on_tpu
-        if not on_tpu():
-            backend = "auto"  # Pallas only lowers on TPU; fall back on CPU
+        from .pallas import pallas_enabled
+        if not pallas_enabled():
+            backend = "auto"  # Pallas only on TPU and never under mp>1
         else:
             try:
                 from .pallas.flash_attention import flash_attention
                 return flash_attention(q, k, v, fused_rope, rope_theta)
-            except Exception:
+            except Exception as e:
+                from .pallas import warn_fallback
+                warn_fallback("flash_attention", e)
                 backend = "auto"
     if fused_rope:  # fallback path: rotate explicitly
         from .rope import apply_rope

@@ -402,11 +402,13 @@ def _bwd(kernel, drop_rate, res, g):
     try:
         grads = _backward_pallas(x, conv_w, conv_b, deconv_w, deconv_b,
                                  kernel, g, drop_rate, seed)
-    except Exception:
+    except Exception as e:
         if drop_rate > 0.0:
             # the jnp reference cannot replay the kernel's PRNG mask —
             # a silent fallback would produce wrong (mask-mismatched) grads
             raise
+        from . import warn_fallback
+        warn_fallback("swiglu_ffn.bwd", e)
         _, vjp = jax.vjp(
             lambda *a: _reference(*a, kernel), x, conv_w, conv_b, deconv_w,
             deconv_b)

@@ -33,6 +33,10 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
         dp = n // mp
     if dp * mp != n:
         raise ValueError(f"mesh {dp}x{mp} != {n} devices")
+    # Fused Pallas kernels carry no SPMD sharding rules: with mp > 1 they
+    # must yield to the XLA fallbacks (see ops/pallas.pallas_enabled).
+    from ..ops.pallas import set_model_parallel
+    set_model_parallel(mp > 1)
     arr = np.asarray(devices).reshape(dp, mp)
     return Mesh(arr, axis_names=("dp", "mp"))
 

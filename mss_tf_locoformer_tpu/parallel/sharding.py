@@ -39,7 +39,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["tp_shardings", "validate_tp"]
 
 _RULES = (
-    # (path substrings that must ALL appear, leaf name, spec factory)
+    # (exact path segments that must ALL appear, leaf name, spec factory).
+    # Segment matching is EXACT: "deconv1d" must not satisfy a "conv1d"
+    # rule, or the [C] deconv bias (replicated per the row-parallel
+    # pattern, see the module docstring) would be sharded over mp.
     (("attn", "qkv"), "weight", lambda: P("mp", None)),
     (("attn", "aggregate_heads"), "weight", lambda: P(None, "mp")),
     (("conv1d",), "weight", lambda: P("mp", None, None)),
@@ -52,9 +55,8 @@ def _spec_for(path: tuple, leaf) -> P:
     keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     name = keys[-1] if keys else ""
     joined = set(keys)
-    for substrings, leaf_name, spec in _RULES:
-        if name == leaf_name and all(any(s in k for k in joined)
-                                     for s in substrings):
+    for segments, leaf_name, spec in _RULES:
+        if name == leaf_name and all(s in joined for s in segments):
             sp = spec()
             if len(sp) <= getattr(leaf, "ndim", 0):
                 return sp
