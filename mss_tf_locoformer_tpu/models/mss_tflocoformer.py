@@ -53,8 +53,8 @@ class TFLocoformerMSS(nn.Module):
         b = mixture.shape[0]
         original_length = mixture.shape[-1]
 
-        from ..ops.pallas import on_tpu
-        use_fused = cfg.fused_stft and on_tpu() and fused.supports(
+        from ..ops.pallas import pallas_enabled
+        use_fused = cfg.fused_stft and pallas_enabled() and fused.supports(
             cfg.n_fft, cfg.hop_length, original_length)
         if use_fused:
             spec = fused.stft_pallas(mixture.astype(jnp.float32),
@@ -97,15 +97,12 @@ class TFLocoformerMSS(nn.Module):
             return {name: spec_out[:, i] for i, name in enumerate(names)}
 
         flat = spec_out.reshape(b * cfg.n_sources, n_freqs, n_frames)
-        if (cfg.fused_stft and use_fused and
-                fused.supports_inverse(cfg.n_fft, cfg.hop_length, n_frames)):
-            # fully fused irDFT+window+OLA kernel (bf16 single-pass like the
-            # forward; the NOLA envelope is a trace-time constant)
-            audio = fused.istft_ola_pallas(flat, cfg.n_fft, cfg.hop_length,
-                                           length=original_length, fast=True)
-        else:
-            audio = istft(flat, cfg.n_fft, cfg.hop_length,
-                          length=original_length)
+        # iSTFT stays on the XLA path (~2 ms/call at bench shapes): a fully
+        # fused irDFT+window+OLA Pallas kernel was built and interpret-parity
+        # tested in round 2, but this backend's remote Mosaic compiler aborts
+        # on it (PERFORMANCE.md "Fused iSTFT+OLA" retains the write-up; the
+        # kernel was removed in round 3 — git history has it)
+        audio = istft(flat, cfg.n_fft, cfg.hop_length, length=original_length)
         audio = audio.reshape(b, cfg.n_sources, original_length)
         return {name: audio[:, i] for i, name in enumerate(names)}
 

@@ -217,160 +217,14 @@ def _stft_bwd(n_fft, hop_length, shape, g):
 stft_pallas.defvjp(_stft_fwd, _stft_bwd)
 
 
-def supports_inverse(n_fft: int, hop: int, n_frames: int,
-                     fast: bool = False) -> bool:
-    """Whether the fused irDFT+OLA kernel fits VMEM for this transform.
-
-    Currently OPT-IN on real hardware (``MSS_TPU_FUSED_ISTFT=1``): the
-    kernel is parity-tested in interpret mode, but this backend's remote
-    Mosaic compiler spins ~30 min on it and aborts (UNAVAILABLE) — observed
-    with both the original dynamic-shift roll and the static per-tap
-    predicated rewrite — and the failed compile can wedge the device
-    tunnel.  The XLA iSTFT it would replace costs ~2 ms/call at bench
-    shapes, so the model keeps the XLA path until the miscompile is
-    understood."""
-    import os
-    from . import on_tpu
-    if on_tpu() and os.environ.get("MSS_TPU_FUSED_ISTFT") != "1":
-        return False
-    if n_fft % hop or hop % LANE or n_fft % LANE or n_fft // hop > 8:
-        return False
-    n_pad = _round_up(n_frames, BLK_N) + 8
-    f_pad = _round_up(n_fft // 2 + 1, LANE)
-    rows = 2 * n_pad * f_pad * 4                      # re + im, resident
-    wsize = 2 * 2 * f_pad * hop * (2 if fast else 4)  # 2 mats, double-buffered
-    out = 2 * BLK_N * hop * 4
-    return rows + wsize + out < VMEM_BUDGET
-
-
-def _inv_ola_kernel(re_ref, im_ref, cre_ref, cim_ref, out_ref, *,
-                    blk: int, ratio: int, fast: bool):
-    """One OLA tap per grid step: chunk block ``i`` accumulates
-    ``frames[c - k, k*hop:(k+1)*hop]`` over the sequential ``k`` grid axis.
-    re/im are pre-padded with 8 leading zero frames so the aligned region
-    load covers the ``c - k`` halo.  The tap alignment is a roll whose shift
-    depends on ``k``; dynamic-shift ``pltpu.roll`` does not lower on this
-    backend, so each tap's STATIC roll sits behind a ``pl.when`` predicate
-    (only one branch executes per grid step)."""
-    i = pl.program_id(1)
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    base = pl.multiple_of(i * blk, blk)
-    re = re_ref[0, pl.ds(base, blk + 8), :]   # rows = frames base-8 .. base+blk
-    im = im_ref[0, pl.ds(base, blk + 8), :]
-    prec = None if fast else jax.lax.Precision.HIGHEST
-    frames = jax.lax.dot(re, cre_ref[0], precision=prec,
-                         preferred_element_type=jnp.float32)
-    frames += jax.lax.dot(im, cim_ref[0], precision=prec,
-                          preferred_element_type=jnp.float32)
-    # out[c] needs frames row (c + 8 - k): up-shift by (8 - k) == roll by
-    # rows - (8 - k) = blk + k; wrapped rows land beyond blk and are dropped
-    for kk in range(ratio):
-        @pl.when(k == kk)
-        def _acc(kk=kk):
-            rolled = pltpu.roll(frames, blk + kk, 0)
-            out_ref[0] += rolled[:blk]
-
-
-def _inverse_ola(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int,
-                 fast: bool) -> jnp.ndarray:
-    """(re, im) ``[B, N_pad, f_pad]`` (already 8-row lead-padded) ->
-    OLA'd chunks ``[B, n_chunks_pad, hop]`` (un-normalized)."""
-    b, n_pad, f_pad = re.shape
-    ratio = n_fft // hop
-    cre, cim = _inv_dft(n_fft, f_pad)
-    # stack per-tap weight panels: [ratio, f_pad, hop]
-    wre = np.stack([cre[:, k * hop:(k + 1) * hop] for k in range(ratio)])
-    wim = np.stack([cim[:, k * hop:(k + 1) * hop] for k in range(ratio)])
-    wdt = jnp.bfloat16 if fast else jnp.float32
-    n_cb = (n_pad - 8) // BLK_N
-    out = pl.pallas_call(
-        functools.partial(_inv_ola_kernel, blk=BLK_N, ratio=ratio, fast=fast),
-        grid=(b, n_cb, ratio),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, f_pad), lambda b_, i, k: (b_, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, f_pad), lambda b_, i, k: (b_, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f_pad, hop), lambda b_, i, k: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f_pad, hop), lambda b_, i, k: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BLK_N, hop), lambda b_, i, k: (b_, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_cb * BLK_N, hop), jnp.float32),
-    )(re.astype(wdt) if fast else re, im.astype(wdt) if fast else im,
-      jnp.asarray(wre, wdt), jnp.asarray(wim, wdt))
-    return out
-
-
-@functools.lru_cache(maxsize=None)
-def _ola_envelope(n_fft: int, hop: int, n_frames: int) -> np.ndarray:
-    """NOLA envelope (sum of squared windows) — static, so pure numpy."""
-    w2 = _np_hann(n_fft) ** 2
-    full_len = (n_frames - 1) * hop + n_fft
-    env = np.zeros(full_len, np.float64)
-    for f in range(n_frames):
-        env[f * hop:f * hop + n_fft] += w2
-    return np.where(env > 1e-11, env, 1.0).astype(np.float32)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def istft_ola_pallas(spec: jnp.ndarray, n_fft: int, hop_length: int,
-                     length: Optional[int] = None,
-                     fast: bool = False) -> jnp.ndarray:
-    """Fully fused iSTFT: irDFT + window + overlap-add in one kernel; the
-    NOLA envelope divide is a trace-time numpy constant (elementwise mul).
-    ``fast=True`` runs the matmuls single-pass bf16 (same −54 dB noise
-    trade as the forward kernel; the model's istft path uses this)."""
-    lead = spec.shape[:-2]
-    n_bins, n_frames = spec.shape[-2], spec.shape[-1]
-    flat = jnp.swapaxes(spec.reshape((-1, n_bins, n_frames)), -1, -2)
-    f_pad = _round_up(n_bins, LANE)
-    ratio = n_fft // hop_length
-    # 8 lead rows (halo) + round chunk count up to a BLK_N multiple of blocks
-    n_chunks = n_frames - 1 + ratio  # full_len / hop
-    n_cb = _round_up(n_chunks, BLK_N) // BLK_N
-    n_pad = n_cb * BLK_N + 8
-    re = jnp.zeros((flat.shape[0], n_pad, f_pad), jnp.float32)
-    im = jnp.zeros_like(re)
-    re = re.at[:, 8:8 + n_frames, :n_bins].set(flat.real.astype(jnp.float32))
-    im = im.at[:, 8:8 + n_frames, :n_bins].set(flat.imag.astype(jnp.float32))
-    chunks = _inverse_ola(re, im, n_fft, hop_length, fast)
-    y = chunks.reshape(chunks.shape[0], -1)[:, :n_chunks * hop_length]
-
-    env = _ola_envelope(n_fft, hop_length, n_frames)
-    y = y[:, :env.shape[0]] / jnp.asarray(env)
-
-    start = n_fft // 2
-    full_len = (n_frames - 1) * hop_length + n_fft
-    if length is not None:
-        y = y[..., start:start + length]
-        if y.shape[-1] < length:
-            y = jnp.pad(y, ((0, 0), (0, length - y.shape[-1])))
-    else:
-        y = y[..., start:full_len - start]
-    return y.reshape(lead + (y.shape[-1],))
-
-
-def _istft_ola_fwd(spec, n_fft, hop_length, length, fast):
-    return istft_ola_pallas(spec, n_fft, hop_length, length, fast), spec.shape
-
-
-def _istft_ola_bwd(n_fft, hop_length, length, fast, shape, g):
-    from .. import stft as S
-    dummy = jnp.zeros(shape, jnp.complex64)
-    _, vjp = jax.vjp(lambda s: S.istft(s, n_fft, hop_length, length=length),
-                     dummy)
-    return (vjp(g)[0],)
-
-
-istft_ola_pallas.defvjp(_istft_ola_fwd, _istft_ola_bwd)
+# NB: a FULLY fused irDFT+window+OLA kernel (istft_ola_pallas) lived here in
+# round 2: interpret-mode parity held at 1e-5, but this backend's remote
+# Mosaic compiler spins ~30 min and ABORTS on it (both dynamic-shift roll and
+# static per-tap pl.when variants), and the failed compile wedges the device
+# tunnel.  The XLA iSTFT it would replace costs ~2 ms/call at bench shapes,
+# so the kernel was removed rather than shipped dark — see PERFORMANCE.md
+# "Fused iSTFT+OLA" for the design write-up, and git history (commits
+# 7af4f55, 660468e) for the code.
 
 
 def _windowed_frames(re: jnp.ndarray, im: jnp.ndarray, n_fft: int
