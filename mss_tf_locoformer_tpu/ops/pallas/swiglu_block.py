@@ -29,22 +29,53 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .swiglu_ffn import (LANE, SUBLANE, _VMEM_TARGET, _dropout_mask,
-                         _round_up, supports)
+from .swiglu_ffn import (LANE, SUBLANE, _VMEM_TARGET, _round_up, supports)
 
 __all__ = ["fused_norm_ffn_residual", "supports"]
 
 _OUTER_SEED_OFFSET = 0x5bd1e995  # decorrelates the two dropout sites
+IT = 128   # inner-channel tile width (backward tiles the wide [L, inner]
+#            intermediates over it; the dropout mask is generated per tile
+#            in BOTH directions so the replay is partition-independent)
+_BWD_VMEM_TARGET = 13 * 1024 * 1024  # scoped limit is 16 MiB; est runs low
+
+
+_TILE_SEED_STRIDE = 0x9E3779B9  # golden-ratio mix folds the tile index into
+#                                 the seed WORD: this backend's Mosaic rejects
+#                                 prng_seed with >2 values ("Setting seed with
+#                                 more than 2 values is not supported")
+
+
+def _tile_keep(seed_ref, group: int, gi: int, shape, t_idx: int, rate: float):
+    """Inner-site keep mask for IT-wide channel tile ``t_idx`` (counter
+    PRNG seeded by (seed mixed with tile, absolute row) — forward and
+    backward generate identical tiles regardless of their own loop
+    structure)."""
+    row_idx = pl.program_id(0) * group + gi
+    mix = ((t_idx + 1) * _TILE_SEED_STRIDE) & 0xFFFFFFFF  # trace-time int32
+    mix = mix - (1 << 32) if mix >= (1 << 31) else mix
+    pltpu.prng_seed(seed_ref[0] + jnp.int32(mix), row_idx)
+    bits = jax.lax.bitwise_and(
+        pltpu.prng_random_bits(shape).astype(jnp.int32),
+        jnp.int32(0x7FFFFFFF))
+    return bits < jnp.int32(int((1.0 - rate) * (1 << 31)))
+
+
+def _inner_keep(seed_ref, group: int, gi: int, shape, rate: float):
+    """Full-width inner keep mask assembled from IT-wide tiles."""
+    lp, ipp = shape
+    tiles = [_tile_keep(seed_ref, group, gi, (lp, IT), t, rate)
+             for t in range(ipp // IT)]
+    return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=1)
 
 
 def _bwd_fixed_bytes(lp: int, cp: int, ip: int, k: int) -> int:
-    """Group-independent live bytes of the backward kernel (measured
-    calibration: the compiler found 17.1 MiB at lp 1056 / ip 384 / k 4 with
-    the per-tap stash lists; ~2.2 MiB of that was the lists, now
-    recomputed)."""
-    inter = 8 * lp * ip * 4          # yv/yg/dh/dyv/dyg fp32 + bf16 casts
-    inter += 5 * lp * cp * 4         # x32/xn/dz/dxn/t_grp
-    w_bytes = 3 * k * cp * ip * 2 + 3 * k * cp * ip * 4
+    """Group-independent live bytes of the IT-tiled backward kernel.  The
+    wide intermediates are [lp, IT] per tile (~26 B/elem across the fp32
+    values + bf16 casts); full-length buffers are all [lp, cp]."""
+    inter = 26 * lp * IT                    # per-tile yv/yg/dh/dyv/dyg + casts
+    inter += 7 * lp * cp * 4                # x32/xn(+cast)/dz/dxn/t_grp/rolls
+    w_bytes = 3 * k * cp * ip * 2 + 3 * k * cp * ip * 4  # panels + dW accums
     return inter + w_bytes
 
 
@@ -53,16 +84,16 @@ def supports_step(s2: int, c: int, inner: int, k: int,
     """Whether the fused norm+FFN+residual kernel fits the 16 MiB
     scoped-VMEM limit at this shape.  ``bwd=True`` additionally requires
     the backward kernel to fit (training); inference-only callers pass
-    ``bwd=False`` — the forward fits at larger shapes, and the rare
-    gradient through a deterministic forward falls back to an unfused
-    recompute.  When unsupported, the block runs norm + the plain fused
-    FFN kernel (separate ops, both VMEM-safe)."""
+    ``bwd=False``.  The round-3 IT-tiled backward admits the freq-path
+    training shape (lp 1056 x inner 384) that round 2 had to gate out.
+    When unsupported, the block runs norm + the plain fused FFN kernel
+    (separate ops, both VMEM-safe)."""
     lp = _round_up(s2, SUBLANE) + SUBLANE
     cp = _round_up(c, LANE)
     ip = _round_up(inner, LANE)
     if bwd:
         io_row = 2 * 3 * lp * cp * 2
-        return _bwd_fixed_bytes(lp, cp, ip, k) + io_row < _VMEM_TARGET
+        return _bwd_fixed_bytes(lp, cp, ip, k) + io_row < _BWD_VMEM_TARGET
     io_row = 2 * 2 * lp * cp * 2
     fwd_fixed = 5 * lp * ip * 4 + 3 * k * cp * ip * 2
     return fwd_fixed + io_row < _VMEM_TARGET
@@ -71,7 +102,7 @@ def supports_step(s2: int, c: int, inner: int, k: int,
 def _pick_group(lp: int, cp: int, ip: int, k: int, bwd: bool) -> int:
     io_row = 2 * (3 if bwd else 2) * lp * cp * 2
     if bwd:
-        budget = _VMEM_TARGET - _bwd_fixed_bytes(lp, cp, ip, k)
+        budget = _BWD_VMEM_TARGET - _bwd_fixed_bytes(lp, cp, ip, k)
     else:
         budget = _VMEM_TARGET - 5 * lp * ip * 4 - 3 * k * cp * ip * 2
     g = max(1, budget // io_row)
@@ -113,8 +144,8 @@ def _blk_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref, bv_ref,
         gate = yv * jax.nn.sigmoid(yg) * yg
         row_i = jax.lax.broadcasted_iota(jnp.int32, gate.shape, 0)
         gate = jnp.where(row_i < l1, gate, 0.0)
-        if drop_rate > 0.0:  # inner (pre-deconv) dropout
-            keep = _dropout_mask(seed_ref, group, gi, gate.shape, drop_rate)
+        if drop_rate > 0.0:  # inner (pre-deconv) dropout, IT-tiled mask
+            keep = _inner_keep(seed_ref, group, gi, gate.shape, drop_rate)
             gate = jnp.where(keep, gate * (1.0 / (1.0 - drop_rate)), 0.0)
         gate = gate.astype(dt)
 
@@ -221,7 +252,13 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
                     dx_ref, dgamma_ref, dwv_ref, dwg_ref, dwd_ref,
                     dbv_ref, dbg_ref, ddb_ref, *, k: int, s2: int,
                     group: int, dpg: int, eps: float, drop_rate: float):
+    """IT-tiled backward: the wide ``[Lp, inner]`` intermediates (the VMEM
+    hog that gated freq-path training shapes out in round 2) are processed
+    in IT-wide channel tiles.  No halos: the SwiGLU gate couples channels
+    only pointwise, so every tile's recompute/adjoint is self-contained;
+    only the narrow ``[Lp, Cp]`` buffers (x, dz, dxn) stay full-length."""
     lp = x_ref.shape[1]
+    ipp = wv_ref.shape[2]
     dt = wv_ref.dtype
     diff_ks = k - 1
     l1 = s2 + diff_ks
@@ -239,19 +276,6 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
         x32 = jnp.where(live_x, x32, 0.0)
         xn, inv, rms = _norm_fwd(x32, bd_ref, gamma_ref, dpg, eps)
 
-        # recompute conv + gate
-        yv = bv_ref[...].astype(jnp.float32)
-        yg = bg_ref[...].astype(jnp.float32)
-        for j in range(k):
-            sh = diff_ks - j
-            xs = (pltpu.roll(xn, sh, 0) if sh else xn).astype(dt)
-            yv = yv + jax.lax.dot(xs, wv_ref[j],
-                                  preferred_element_type=jnp.float32)
-            yg = yg + jax.lax.dot(xs, wg_ref[j],
-                                  preferred_element_type=jnp.float32)
-        row_i = jax.lax.broadcasted_iota(jnp.int32, yv.shape, 0)
-        live_h = row_i < l1
-
         dz = jnp.where(live_x, g_ref[gi].astype(jnp.float32), 0.0)
         if drop_rate > 0.0:  # replay outer mask
             pltpu.prng_seed(seed_ref[0] ^ _OUTER_SEED_OFFSET,
@@ -263,46 +287,82 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
             dz = jnp.where(keep2, dz * (1.0 / (1.0 - drop_rate)), 0.0)
         ddb_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
 
-        # deconv adjoint: dh = sum_j roll(dz, +j) @ wd_j^T
-        # (roll in fp32: the TPU rotate op only lowers for 32-bit data;
-        # rolls are recomputed where needed rather than stashed per tap —
-        # the k live [Lp, Cp] copies were ~2 MiB of scoped VMEM)
-        dh = None
-        for j in range(k):
-            dzr = (pltpu.roll(dz, j, 0) if j else dz).astype(dt)
-            t = jax.lax.dot_general(dzr, wd_ref[j], (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            dh = t if dh is None else dh + t
-        dh = jnp.where(live_h, dh, 0.0)
+        live_h = (jax.lax.broadcasted_iota(jnp.int32, (lp, IT), 0) < l1)
+        bv32 = bv_ref[...].astype(jnp.float32)
+        bg32 = bg_ref[...].astype(jnp.float32)
+        dxn = jnp.zeros((lp, x32.shape[1]), jnp.float32)
+        for t in range(ipp // IT):
+            sl = slice(t * IT, (t + 1) * IT)
+            # recompute conv + gate for this channel tile (rolls recomputed
+            # rather than stashed per tap — k live [Lp, Cp] copies cost
+            # ~2 MiB of scoped VMEM, measured in round 2)
+            yv = bv32[:, sl]
+            yg = bg32[:, sl]
+            for j in range(k):
+                sh = diff_ks - j
+                xs = (pltpu.roll(xn, sh, 0) if sh else xn).astype(dt)
+                yv = yv + jax.lax.dot(xs, wv_ref[j, :, sl],
+                                      preferred_element_type=jnp.float32)
+                yg = yg + jax.lax.dot(xs, wg_ref[j, :, sl],
+                                      preferred_element_type=jnp.float32)
 
-        sig = jax.nn.sigmoid(yg)
-        silu_g = yg * sig
-        gate_f = jnp.where(live_h, yv * silu_g, 0.0)
-        if drop_rate > 0.0:  # replay inner mask
-            keep = _dropout_mask(seed_ref, group, gi, gate_f.shape, drop_rate)
-            ikp = 1.0 / (1.0 - drop_rate)
-            gate_f = jnp.where(keep, gate_f * ikp, 0.0)
-            dh = jnp.where(keep, dh * ikp, 0.0)
-        gate = gate_f.astype(dt)
-        dyv = jnp.where(live_h, dh * silu_g, 0.0)
-        dyg = jnp.where(live_h, dh * yv * sig * (1.0 + yg * (1.0 - sig)), 0.0)
-        dyv_c = dyv.astype(dt)
-        dyg_c = dyg.astype(dt)
+            # deconv adjoint for this tile: dh = sum_j roll(dz, +j) @ wd_j^T
+            dh = None
+            for j in range(k):
+                dzr = (pltpu.roll(dz, j, 0) if j else dz).astype(dt)
+                tt = jax.lax.dot_general(
+                    dzr, wd_ref[j, sl, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dh = tt if dh is None else dh + tt
+            dh = jnp.where(live_h, dh, 0.0)
 
-        # conv adjoint: dxn = sum_j roll(dyv @ Wv_j^T + dyg @ Wg_j^T, up by sh)
-        dxn = None
-        for j in range(k):
-            t = jax.lax.dot_general(dyv_c, wv_ref[j], (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            t = t + jax.lax.dot_general(dyg_c, wg_ref[j],
-                                        (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            sh = diff_ks - j
-            if sh:
-                t = pltpu.roll(t, lp - sh, 0)
-            dxn = t if dxn is None else dxn + t
+            sig = jax.nn.sigmoid(yg)
+            silu_g = yg * sig
+            gate_f = jnp.where(live_h, yv * silu_g, 0.0)
+            if drop_rate > 0.0:  # replay this tile's inner mask
+                keep = _tile_keep(seed_ref, group, gi, gate_f.shape, t,
+                                  drop_rate)
+                ikp = 1.0 / (1.0 - drop_rate)
+                gate_f = jnp.where(keep, gate_f * ikp, 0.0)
+                dh = jnp.where(keep, dh * ikp, 0.0)
+            gate = gate_f.astype(dt)
+            dyv = jnp.where(live_h, dh * silu_g, 0.0)
+            dyg = jnp.where(live_h,
+                            dh * yv * sig * (1.0 + yg * (1.0 - sig)), 0.0)
+            dyv_c = dyv.astype(dt)
+            dyg_c = dyg.astype(dt)
+
+            # conv adjoint: dxn += sum_j roll(dyv Wv_j^T + dyg Wg_j^T, up)
+            for j in range(k):
+                tt = jax.lax.dot_general(
+                    dyv_c, wv_ref[j, :, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                tt = tt + jax.lax.dot_general(
+                    dyg_c, wg_ref[j, :, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sh = diff_ks - j
+                if sh:
+                    tt = pltpu.roll(tt, lp - sh, 0)
+                dxn = dxn + tt
+
+            # weight/bias grads for this tile
+            for j in range(k):
+                sh = diff_ks - j
+                xs = (pltpu.roll(xn, sh, 0) if sh else xn).astype(dt)
+                dzr = (pltpu.roll(dz, j, 0) if j else dz).astype(dt)
+                dwv_ref[j, :, sl] += jax.lax.dot_general(
+                    xs, dyv_c, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dwg_ref[j, :, sl] += jax.lax.dot_general(
+                    xs, dyg_c, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dwd_ref[j, sl, :] += jax.lax.dot_general(
+                    gate, dzr, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            dbv_ref[:, sl] += jnp.sum(dyv, axis=0, keepdims=True)
+            dbg_ref[:, sl] += jnp.sum(dyg, axis=0, keepdims=True)
+
         dxn = jnp.where(live_x, dxn, 0.0)
-
         # norm backward: dx = gamma*inv*dxn - x * T * inv^2 / (dpg * rms)
         dgamma_ref[...] += jnp.sum(dxn * x32 * inv, axis=0, keepdims=True)
         gdxn = dxn * gamma_ref[...]
@@ -315,22 +375,6 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
         dx_ref[gi] = (dx32 + jnp.where(live_x,
                                        g_ref[gi].astype(jnp.float32), 0.0)
                       ).astype(dx_ref.dtype)
-
-        for j in range(k):
-            sh = diff_ks - j
-            xs = (pltpu.roll(xn, sh, 0) if sh else xn).astype(dt)
-            dzr = (pltpu.roll(dz, j, 0) if j else dz).astype(dt)
-            dwv_ref[j] += jax.lax.dot_general(
-                xs, dyv_c, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dwg_ref[j] += jax.lax.dot_general(
-                xs, dyg_c, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dwd_ref[j] += jax.lax.dot_general(
-                gate, dzr, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        dbv_ref[...] += jnp.sum(dyv, axis=0, keepdims=True)
-        dbg_ref[...] += jnp.sum(dyg, axis=0, keepdims=True)
 
 
 def _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
@@ -411,9 +455,11 @@ def _blk_bwd(kernel, num_groups, eps, drop_rate, res, g):
     try:
         grads = _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b,
                               kernel, num_groups, eps, drop_rate, seed, g)
-    except Exception:
+    except Exception as e:
         if drop_rate > 0.0:
             raise  # the unfused fallback cannot replay the in-kernel mask
+        from . import warn_fallback
+        warn_fallback("swiglu_block.bwd", e)
         # deterministic forward differentiated at a shape whose backward
         # kernel exceeds scoped VMEM: recompute through the unfused math
         _, vjp = jax.vjp(

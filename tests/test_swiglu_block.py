@@ -89,3 +89,33 @@ def test_block_fused_equals_unfused_on_tpu(rng):
     got = np.asarray(fused.apply(params, x))
     scale = max(np.abs(want).max(), 1.0)
     np.testing.assert_allclose(got, want, atol=5e-3 * scale, rtol=2e-2)
+
+
+def test_grad_parity_multi_tile(rng):
+    """The IT-tiled backward (round 3: inner > 128 spans several channel
+    tiles) matches the unfused vjp — the freq-path training shape class
+    that round 2's untiled backward had to gate out of the fused step."""
+    k, groups = 4, 4
+    args = _args(rng, r=2, s2=70, c=32, inner=3 * B.IT)
+    g = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda *a: B.reference_norm_ffn_residual(*a, k, groups,
+                                                              1e-5), *args)
+    want = vjp(g)
+    with _ctx():
+        _, vjp_f = jax.vjp(
+            lambda *a: B.fused_norm_ffn_residual(*a, k, groups, 1e-5), *args)
+        got = vjp_f(g)
+    names = ("dx", "dgamma", "dconv_w", "dconv_b", "ddeconv_w", "ddeconv_b")
+    for name, a, b in zip(names, want, got):
+        scale = max(np.abs(np.asarray(a)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4 * scale, rtol=5e-3, err_msg=name)
+
+
+def test_supports_step_admits_freq_training_shape():
+    """Round-2 verdict item 4: the base-config freq path (seq 1025, emb 96,
+    inner 384, k 4) must take the fully fused step in TRAINING too."""
+    assert B.supports_step(1025, 96, 384, 4, bwd=True)
+    assert B.supports_step(259, 96, 384, 4, bwd=True)   # time path
+    assert not B.supports_step(4096, 96, 1024, 8, bwd=True)  # beyond budget
