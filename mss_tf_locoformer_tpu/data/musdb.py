@@ -456,7 +456,12 @@ class MUSDBDataset:
                 power = float(np.mean(mixture ** 2))
                 if power > 0:
                     noise_power = power / (10 ** (snr / 10))
-                    noise = np.random.randn(*mixture.shape).astype(np.float32)
+                    # seeded off the dataset RNG (NOT the global np.random):
+                    # keeps seeded runs reproducible and avoids shared
+                    # mutable state across loader threads
+                    noise_rng = np.random.default_rng(r.getrandbits(64))
+                    noise = noise_rng.standard_normal(
+                        mixture.shape).astype(np.float32)
                     sample["mixture"] = np.clip(
                         mixture + noise * np.sqrt(noise_power), -1.0, 1.0)
 

@@ -28,13 +28,14 @@ import numpy as np
 
 from ..core.config import Config
 from ..core.precision import precision_from_amp
-from ..data.loader import DataLoader, prefetch_to_device
+from ..data.loader import DataLoader
 from ..data.musdb import MUSDBDataset
 from ..models.mss_tflocoformer import TFLocoformerMSS
 from ..parallel import mesh as M
 from ..utils.common import AverageMeter, count_parameters, format_time, set_seed
 from ..utils.profiling import StepProfiler
 from .checkpoint import CheckpointManager
+from .engine import Scalars, make_writer, run_train_epoch
 from .schedule import EarlyStopping
 from .state import LRController, TrainState, init_state, make_optimizer
 from .step import make_eval_step, make_train_step
@@ -86,7 +87,8 @@ class Trainer:
 
         self.ckpt = CheckpointManager(self.ckpt_dir, keep_last=tcfg.keep_last,
                                       save_best=tcfg.save_best)
-        self.writer = self._make_writer()
+        self.writer = make_writer(self.log_dir)
+        self._scalars = Scalars(self.writer)
         self.profiler = StepProfiler(self.log_dir, n_steps=tcfg.profile_steps,
                                      start_step=tcfg.profile_start_step)
 
@@ -104,16 +106,8 @@ class Trainer:
         if self.verbose:
             print(msg, flush=True)
 
-    def _make_writer(self):
-        try:
-            from tensorboardX import SummaryWriter
-            return SummaryWriter(self.log_dir)
-        except ImportError:
-            return None
-
     def _scalar(self, tag: str, value: float, step: int):
-        if self.writer is not None:
-            self.writer.add_scalar(tag, value, step)
+        self._scalars(tag, value, step)
 
     def _datasets(self):
         dcfg = self.config.dataset
@@ -155,29 +149,19 @@ class Trainer:
                       for k in sources if k in batch}}
 
     def train_epoch(self, state, loader, epoch: int, rng):
-        meter = AverageMeter()
-        t0 = time.time()
         tcfg = self.config.training
-        for i, batch in enumerate(prefetch_to_device(
-                self._host_batches(loader), size=tcfg.prefetch_factor,
-                sharding=self.batch_sharding)):
-            mixture = batch.pop("mixture")  # already sharded on device
-            targets = batch
-            lr = self.lr_ctl.lr_at(int(state.step))
-            rng, sub = jax.random.split(rng)
-            self.profiler.step_start(int(state.step))
-            state, ld = self.train_step(state, mixture, targets, lr, sub)
-            loss = float(ld["total_loss"])  # host sync point
-            self.profiler.step_end(int(state.step) - 1)
-            meter.update(loss, mixture.shape[0])
-            if i % tcfg.log_interval == 0:
-                step = int(state.step)
-                self._scalar("train/loss_step", loss, step)
-                self._scalar("train/lr", lr, step)
-                self._scalar("train/grad_norm", float(ld["grad_norm"]), step)
-                self._log(f"  epoch {epoch} step {step} loss {loss:.4f} "
-                          f"lr {lr:.2e} ({format_time(time.time() - t0)})")
-        return state, meter.avg, rng
+
+        def step(st, batch, lr, sub):
+            b = dict(batch)
+            mixture = b.pop("mixture")  # already sharded on device
+            return self.train_step(st, mixture, b, lr, sub)
+
+        return run_train_epoch(
+            step, state, self._host_batches(loader),
+            sharding=self.batch_sharding, prefetch=tcfg.prefetch_factor,
+            lr_ctl=self.lr_ctl, rng=rng, profiler=self.profiler, epoch=epoch,
+            log_interval=tcfg.log_interval, log=self._log,
+            scalars=self._scalars)
 
     def validate(self, state, loader) -> float:
         """Chunked validation: every track is cut into fixed-length
@@ -190,7 +174,7 @@ class Trainer:
                or 10 * self.config.dataset.sample_rate)
         group = max(1, tcfg.val_batch_size)
         meter = AverageMeter()
-        buf_mix, buf_tgt = [], []
+        buf_mix, buf_tgt, buf_w = [], [], []
 
         def flush():
             if not buf_mix:
@@ -199,26 +183,32 @@ class Trainer:
             targets = {k: np.stack([t[k] for t in buf_tgt])
                        for k in buf_tgt[0]}
             ld = self.eval_step(state.params, mixture, targets)
-            meter.update(float(ld["total_loss"]), len(buf_mix))
+            meter.update(float(ld["total_loss"]), sum(buf_w))
             buf_mix.clear()
             buf_tgt.clear()
+            buf_w.clear()
 
         for batch in iter(loader):
             mixture = _mono(np.asarray(batch["mixture"]))
             targets = {k: _mono(np.asarray(batch[k]))
                        for k in self.config.dataset.sources if k in batch}
             t = mixture.shape[-1]
-            n_chunks = max(1, t // seg)
+            # ceil: the final partial chunk is zero-padded, not dropped —
+            # every track contributes its full length to the val loss, and
+            # the meter weights each chunk by its valid-sample fraction.
+            n_chunks = max(1, -(-t // seg))
             for b in range(mixture.shape[0]):
                 for c in range(n_chunks):
                     sl = slice(c * seg, (c + 1) * seg)
                     mix_c = mixture[b, sl]
-                    if mix_c.shape[0] < seg:  # track shorter than one chunk
-                        mix_c = np.pad(mix_c, (0, seg - mix_c.shape[0]))
+                    valid = mix_c.shape[0]
+                    if valid < seg:  # ragged tail (or track < one chunk)
+                        mix_c = np.pad(mix_c, (0, seg - valid))
                     buf_mix.append(mix_c)
                     buf_tgt.append({k: np.pad(v[b, sl],
                                               (0, seg - v[b, sl].shape[0]))
                                     for k, v in targets.items()})
+                    buf_w.append(valid / seg)
                     if len(buf_mix) == group:
                         flush()
         flush()  # ragged tail group (one extra program shape at most)

@@ -33,6 +33,7 @@ from ..parallel import mesh as M
 from ..utils.common import AverageMeter, count_parameters, format_time, set_seed
 from ..utils.profiling import StepProfiler
 from .checkpoint import CheckpointManager
+from .engine import Scalars, make_writer, run_train_epoch
 from .schedule import EarlyStopping
 from .state import LRController, TrainState, init_state, make_optimizer
 from .step import make_update_step
@@ -126,6 +127,8 @@ class SpeechTrainer:
 
         self.ckpt = CheckpointManager(self.ckpt_dir, keep_last=tcfg.keep_last,
                                       save_best=tcfg.save_best)
+        self.writer = make_writer(self.log_dir)
+        self._scalars = Scalars(self.writer)
         self.profiler = StepProfiler(self.log_dir, n_steps=tcfg.profile_steps,
                                      start_step=tcfg.profile_start_step)
         self.best_val = float("inf")
@@ -159,6 +162,13 @@ class SpeechTrainer:
         src = np.asarray(batch["sources"]).mean(axis=2)
         return mix.astype(np.float32), src.astype(np.float32)
 
+    def _host_batches(self, loader):
+        """Host-side prep feeding the shared prefetch pipeline (one async
+        device_put per batch — same plumbing as the MSS trainer)."""
+        for batch in iter(loader):
+            mix, src = self._mono(batch)
+            yield {"mixture": mix, "sources": src}
+
     def fit(self, train_loader=None, val_loader=None) -> TrainState:
         tcfg = self.config.training
         if train_loader is None:
@@ -186,24 +196,20 @@ class SpeechTrainer:
             self.lr_ctl.load_state_dict(meta["lr_controller"])
             self._log(f"Resumed from epoch {epoch}")
 
+        def step(st, batch, lr, sub):
+            return self.step_fn(st, batch["mixture"], batch["sources"], lr, sub)
+
         rng = jax.random.PRNGKey(self.config.seed + 1)
         for epoch in range(self.start_epoch, tcfg.num_epochs):
-            t0, meter = time.time(), AverageMeter()
-            for i, batch in enumerate(iter(train_loader)):
-                mix, src = self._mono(batch)
-                mix = jax.device_put(mix, self.batch_sharding)
-                src = jax.device_put(src, self.batch_sharding)
-                lr = self.lr_ctl.lr_at(int(state.step))
-                rng, sub = jax.random.split(rng)
-                self.profiler.step_start(int(state.step))
-                state, ld = self.step_fn(state, mix, src, lr, sub)
-                loss = float(ld["total_loss"])
-                self.profiler.step_end(int(state.step) - 1)
-                meter.update(loss, mix.shape[0])
-                if i % tcfg.log_interval == 0:
-                    self._log(f"  epoch {epoch} step {int(state.step)} "
-                              f"loss {loss:.4f} lr {lr:.2e}")
-            msg = f"epoch {epoch}: train {meter.avg:.4f} ({format_time(time.time()-t0)})"
+            t0 = time.time()
+            state, train_loss, rng = run_train_epoch(
+                step, state, self._host_batches(train_loader),
+                sharding=self.batch_sharding, prefetch=tcfg.prefetch_factor,
+                lr_ctl=self.lr_ctl, rng=rng, profiler=self.profiler,
+                epoch=epoch, log_interval=tcfg.log_interval, log=self._log,
+                scalars=self._scalars)
+            self._scalars("train/loss_epoch", train_loss, epoch)
+            msg = f"epoch {epoch}: train {train_loss:.4f} ({format_time(time.time()-t0)})"
 
             val_loss = None
             if val_loader is not None and (epoch + 1) % tcfg.val_interval == 0:
@@ -214,6 +220,7 @@ class SpeechTrainer:
                               mix.shape[0])
                 val_loss = vm.avg
                 self.lr_ctl.on_validation(val_loss)
+                self._scalars("val/loss", val_loss, epoch)
                 msg += f" val {val_loss:.4f}"
             self._log(msg)
 
@@ -230,4 +237,5 @@ class SpeechTrainer:
                 self._log(f"Early stopping at epoch {epoch}")
                 break
         self.profiler.close()
+        self._scalars.close()
         return state

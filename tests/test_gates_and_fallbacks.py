@@ -1,0 +1,216 @@
+"""Round-3 hardening: model-parallel Pallas gates, observable kernel
+fallbacks, exact-segment TP sharding rules, seeded augmentation noise, and
+full-track validation weighting."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mss_tf_locoformer_tpu.core.config import ModelConfig
+from mss_tf_locoformer_tpu.ops import pallas as P
+from mss_tf_locoformer_tpu.parallel import mesh as M
+
+
+@pytest.fixture(autouse=True)
+def _reset_pallas_state():
+    yield
+    P.set_model_parallel(False)
+    P.reset_fallbacks()
+
+
+# ------------------------------------------------------- mp>1 Pallas gate
+
+def test_pallas_disabled_under_model_parallel(monkeypatch):
+    """With an mp>1 mesh active, every fused-kernel gate must say no even on
+    a TPU backend: the kernels declare no SPMD sharding rules (VERDICT r2
+    Weak #1), so TP runs must use the XLA fallbacks."""
+    from mss_tf_locoformer_tpu.nn.attention import attn_step_applicable
+    from mss_tf_locoformer_tpu.nn.ffn import block_step_applicable
+
+    monkeypatch.setattr(P, "on_tpu", lambda: True)  # simulate a real chip
+    M.make_mesh(jax.devices()[:8], dp=4, mp=2)
+    assert P.model_parallel_active()
+    assert not P.pallas_enabled()
+    assert not attn_step_applicable("rmsgroupnorm", True, 96, 96, 4, 1056)
+    assert not block_step_applicable("rmsgroupnorm", "swiglu_conv1d", True,
+                                     4, 1, 1056, 384, 96)
+
+    # a dp-only mesh re-enables the fused paths
+    M.make_mesh(jax.devices()[:8], dp=8, mp=1)
+    assert not P.model_parallel_active()
+    assert P.pallas_enabled()
+
+
+def test_flash_backend_falls_back_under_mp(monkeypatch, rng):
+    """backend='flash' must route to the XLA path under mp>1 (no pallas_call
+    reaches the partitioner) and still produce correct attention."""
+    from mss_tf_locoformer_tpu.ops.attention import dot_product_attention
+
+    monkeypatch.setattr(P, "on_tpu", lambda: True)
+    M.make_mesh(jax.devices()[:8], dp=4, mp=2)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 2, 16, 8)),
+                           jnp.float32) for _ in range(3))
+    out = dot_product_attention(q, k, v, backend="flash")  # must not lower Pallas
+    want = dot_product_attention(q, k, v, backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+# ------------------------------------------------ observable fallback paths
+
+def test_attention_block_bwd_fallback_warns_and_matches(monkeypatch, rng):
+    """If the fused attention-step backward kernel rejects a shape, the
+    recompute fallback must (a) announce itself via warn_fallback and
+    (b) produce reference gradients (VERDICT r2 Weak #6)."""
+    from mss_tf_locoformer_tpu.ops.pallas import attention_block as AB
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic kernel failure")
+
+    monkeypatch.setattr(AB, "_attn_backward_pallas", boom)
+
+    r, l, c, a, h = 2, 24, 16, 16, 2
+    x = jnp.asarray(0.3 * rng.standard_normal((r, l, c)), jnp.float32)
+    gamma = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    w_qkv = jnp.asarray(rng.standard_normal((3 * a, c)) / np.sqrt(c),
+                        jnp.float32)
+    w_out = jnp.asarray(rng.standard_normal((c, a)) / np.sqrt(a), jnp.float32)
+
+    def loss_fused(x_):
+        return jnp.sum(AB.fused_attention_block(x_, gamma, w_qkv, w_out,
+                                                h, 4, 1e-5, True) ** 2)
+
+    def loss_ref(x_):
+        return jnp.sum(AB.reference_attention_block(x_, gamma, w_qkv, w_out,
+                                                    h, 4, 1e-5, True) ** 2)
+
+    # interpret mode so the forward Pallas kernel traces on CPU
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        gx = jax.grad(loss_fused)(x)
+    assert "attention_block.bwd" in P.fallback_names()
+    want = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(want),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_warn_fallback_fires_once(caplog):
+    import logging
+    with caplog.at_level(logging.WARNING):
+        P.warn_fallback("unit_test_kernel", RuntimeError("x"))
+        P.warn_fallback("unit_test_kernel", RuntimeError("y"))
+    hits = [r for r in caplog.records if "unit_test_kernel" in r.message]
+    assert len(hits) == 1
+    assert "unit_test_kernel" in P.fallback_names()
+
+
+# ----------------------------------------------- exact-segment TP rules
+
+def test_tp_rules_deconv_bias_replicated():
+    """'deconv1d' must not satisfy the 'conv1d' substring (ADVICE r2): the
+    [C] deconv bias stays replicated; the [2I] conv bias shards over mp."""
+    from mss_tf_locoformer_tpu.parallel.sharding import tp_shardings
+    from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+
+    cfg = ModelConfig(n_fft=256, hop_length=128, n_layers=1, emb_dim=16,
+                      num_groups=4, n_heads=2, attention_dim=16,
+                      ffn_type="swiglu_conv1d", ffn_hidden_dim=32)
+    model = TFLocoformerMSS(cfg)
+    params = model.init(jax.random.PRNGKey(0), np.zeros((1, 2000), np.float32))
+    mesh = M.make_mesh(jax.devices()[:8], dp=4, mp=2)
+    shardings = tp_shardings(params, mesh)
+
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    checked_deconv_b = checked_conv_b = 0
+    for path, sh in flat:
+        keys = [getattr(p, "key", "") for p in path]
+        if "deconv1d" in keys and keys[-1] == "bias":
+            assert sh.is_fully_replicated, keys
+            checked_deconv_b += 1
+        elif "conv1d" in keys and keys[-1] == "bias":
+            assert not sh.is_fully_replicated, keys
+            checked_conv_b += 1
+    assert checked_deconv_b and checked_conv_b
+
+
+# --------------------------------------------- seeded augmentation noise
+
+def test_augmentation_noise_reproducible(tmp_path, rng):
+    """Same dataset seed => identical augmented samples across dataset
+    instances, INCLUDING the additive-noise branch (noise_prob=1)."""
+    from mss_tf_locoformer_tpu.data import audio_io
+    from mss_tf_locoformer_tpu.data.musdb import MUSDBDataset
+
+    sr, n = 8000, 8000
+    d = tmp_path / "musdb" / "train" / "track0"
+    d.mkdir(parents=True)
+    stems = {s: (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+             for s in ("vocals", "drums", "bass", "other")}
+    for s, x in stems.items():
+        audio_io.write(str(d / f"{s}.wav"), x, sr, bits=16)
+    audio_io.write(str(d / "mixture.wav"), sum(stems.values()), sr, bits=16)
+
+    def build():
+        return MUSDBDataset(
+            str(tmp_path / "musdb"), subset="train", sample_rate=sr,
+            segment_length=sr // 2, sources=sorted(stems), augmentation=True,
+            augmentation_config={"loudness": (0.7, 1.3), "noise_prob": 1.0,
+                                 "noise_snr": (25.0, 40.0)},
+            metadata_cache=False, random_chunks=True, seed=123, verbose=False)
+
+    a = build()[0]
+    b = build()[0]
+    for k in a:
+        if isinstance(a[k], np.ndarray):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+    # and the noise branch actually fired: mixture != clean stem sum
+    resum = sum(a[s] for s in stems)
+    assert not np.allclose(a["mixture"], np.clip(resum, -1, 1))
+
+
+# --------------------------------------- full-track validation weighting
+
+def test_validation_counts_track_tails(tmp_path, rng):
+    """A 2.5-chunk track contributes ~2.5 chunks of weighted loss: the tail
+    is padded and weighted by its valid fraction, not dropped (VERDICT r2
+    item 7)."""
+    from test_trainer import tiny_train_config
+    from mss_tf_locoformer_tpu.train.loop import Trainer
+
+    sr = 8000
+    root = tmp_path / "fake_musdb"
+    (root / "train" / "t0").mkdir(parents=True)
+    (root / "test" / "t0").mkdir(parents=True)
+    from mss_tf_locoformer_tpu.data import audio_io
+    for sub in ("train", "test"):
+        d = root / sub / "t0"
+        x = (0.1 * rng.standard_normal((sr, 2))).astype(np.float32)
+        for s in ("vocals", "drums", "bass", "other", "mixture"):
+            audio_io.write(str(d / f"{s}.wav"), x, sr, bits=16)
+
+    cfg = tiny_train_config(root, tmp_path / "exp")
+    cfg = dataclasses.replace(cfg, training=dataclasses.replace(
+        cfg.training, val_segment_length=sr // 2, val_batch_size=1))
+    trainer = Trainer(cfg, verbose=False)
+
+    losses = iter([2.0, 4.0, 8.0])
+
+    def fake_eval(params, mixture, targets):
+        return {"total_loss": next(losses)}
+
+    trainer.eval_step = fake_eval
+    seg = sr // 2
+    t = int(2.5 * seg)
+    mix = (0.1 * rng.standard_normal((1, 2, t))).astype(np.float32)
+
+    def loader():
+        yield {"mixture": mix, **{s: 0.25 * mix
+                                  for s in ("vocals", "drums", "bass", "other")}}
+
+    got = trainer.validate(state=trainer.init_model(
+        np.zeros((1, seg), np.float32)), loader=loader())
+    # three chunks with weights [1, 1, 0.5] and losses [2, 4, 8]
+    want = (2.0 * 1 + 4.0 * 1 + 8.0 * 0.5) / 2.5
+    assert got == pytest.approx(want)
