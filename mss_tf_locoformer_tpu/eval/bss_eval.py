@@ -20,6 +20,12 @@ Projections solve one block-Toeplitz least-squares system per estimate via
 FFT cross-correlations (numpy host-side; a 4-stem, 512-tap system is a
 2048x2048 solve).  Stems keep their fixed MSS order (no permutation search —
 MSS stems are labeled; speech PIT handles permutations at the loss level).
+
+Convention note: decomposition energies are taken over the FULL filtered
+support ``t + flen - 1`` (references zero-padded, estimate zero-extended) —
+the mir_eval / BSS Eval v3 convention — so numbers are comparable to
+published museval/mir_eval results.  ``tests/test_eval_pinning.py`` asserts
+agreement with an explicit lagged-design-matrix least-squares oracle.
 """
 
 from __future__ import annotations
@@ -88,22 +94,24 @@ def bss_eval_sources(estimates: np.ndarray, references: np.ndarray,
     sdr = np.zeros(s)
     sir = np.zeros(s)
     sar = np.zeros(s)
+    t_full = t + flen - 1  # full filtered support (mir_eval convention)
     for i in range(s):
         g, d = _correlations(ref, est[i], flen)
         # regularized solve (silent stems make G singular)
         reg = eps * np.trace(g) / max(g.shape[0], 1) + eps
         coefs_all = np.linalg.solve(
             g + reg * np.eye(g.shape[0]), d).reshape(s, flen)
-        p_all = _project(ref, coefs_all, flen, t)
+        p_all = _project(ref, coefs_all, flen, t_full)
 
         gi = g[i * flen:(i + 1) * flen, i * flen:(i + 1) * flen]
         di = d[i * flen:(i + 1) * flen]
         regi = eps * np.trace(gi) / flen + eps
         coef_i = np.linalg.solve(gi + regi * np.eye(flen), di)
-        s_target = _project(ref[i:i + 1], coef_i[None], flen, t)
+        s_target = _project(ref[i:i + 1], coef_i[None], flen, t_full)
 
+        est_full = np.concatenate([est[i], np.zeros(flen - 1)])
         e_interf = p_all - s_target
-        e_artif = est[i] - p_all
+        e_artif = est_full - p_all
 
         def db(num, den):
             return 10.0 * np.log10((num + eps) / (den + eps))

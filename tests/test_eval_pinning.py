@@ -1,0 +1,170 @@
+"""Pin BSS Eval v3 and STOI against independent brute-force oracles.
+
+museval / pystoi are not installed in this environment (and cannot be
+fetched), so the ecosystem pin is an independent re-derivation instead of a
+recorded fixture: BSS Eval is checked against an explicit lagged-design-
+matrix least-squares decomposition (``np.linalg.lstsq`` over a dense
+``[t+flen-1, S*flen]`` matrix — a different algorithm from the production
+FFT-Gram Toeplitz solve), and STOI against a from-the-paper scalar-loop
+implementation sharing no helpers with production.  Both follow the
+mir_eval / pystoi discretization conventions, so a drift from published-
+comparable numbers fails here.  Reference semantics being pinned:
+``/root/reference/evaluation/metrics.py:14-168`` (which computes only the
+single-target projection variant) and the RESULTS.md STOI columns.
+"""
+
+import numpy as np
+import pytest
+
+from mss_tf_locoformer_tpu.eval.bss_eval import bss_eval_sources
+from mss_tf_locoformer_tpu.eval.stoi import compute_stoi
+
+
+# ------------------------------------------------------ BSS Eval v3 oracle
+
+def _bss_oracle(estimates, references, flen):
+    """BSS Eval v3 by explicit least squares (mir_eval algorithm, dense)."""
+    est = np.asarray(estimates, np.float64)
+    ref = np.asarray(references, np.float64)
+    s, t = ref.shape
+    tf = t + flen - 1
+    a = np.zeros((tf, s * flen))
+    for j in range(s):
+        for lag in range(flen):
+            a[lag:lag + t, j * flen + lag] = ref[j]
+
+    eps = 1e-12
+    out = {"sdr": np.zeros(s), "sir": np.zeros(s), "sar": np.zeros(s)}
+    for i in range(s):
+        e = np.concatenate([est[i], np.zeros(flen - 1)])
+        c_all, *_ = np.linalg.lstsq(a, e, rcond=None)
+        p_all = a @ c_all
+        ai = a[:, i * flen:(i + 1) * flen]
+        c_i, *_ = np.linalg.lstsq(ai, e, rcond=None)
+        s_target = ai @ c_i
+        e_interf = p_all - s_target
+        e_artif = e - p_all
+
+        def db(num, den):
+            return 10.0 * np.log10((num + eps) / (den + eps))
+
+        out["sdr"][i] = db((s_target ** 2).sum(),
+                           ((e_interf + e_artif) ** 2).sum())
+        out["sir"][i] = db((s_target ** 2).sum(), (e_interf ** 2).sum())
+        out["sar"][i] = db(((s_target + e_interf) ** 2).sum(),
+                           (e_artif ** 2).sum())
+    return out
+
+
+@pytest.mark.parametrize("flen,n_src,t", [(16, 2, 1200), (32, 3, 1500)])
+def test_bss_eval_matches_lstsq_oracle(rng, flen, n_src, t):
+    """Production FFT-Gram solve == dense lstsq decomposition on realistic
+    mixtures (each estimate = FIR-filtered target + cross-talk + noise)."""
+    refs = rng.standard_normal((n_src, t))
+    est = np.zeros_like(refs)
+    for i in range(n_src):
+        fir = rng.standard_normal(5) * np.array([1, .5, .25, .12, .06])
+        filt = np.convolve(refs[i], fir)[:t]
+        cross = 0.2 * refs[(i + 1) % n_src]
+        est[i] = filt + cross + 0.05 * rng.standard_normal(t)
+
+    got = bss_eval_sources(est, refs, filter_len=flen)
+    want = _bss_oracle(est, refs, flen)
+    for m in ("sdr", "sir", "sar"):
+        np.testing.assert_allclose(got[m], want[m], atol=0.02,
+                                   err_msg=m)
+
+
+def test_bss_eval_filtered_target_is_transparent(rng):
+    """An estimate that is exactly a short FIR of its reference must score
+    near-perfect SDR/SIR/SAR (the defining property of the 512-tap
+    projection)."""
+    t = 2000
+    refs = rng.standard_normal((2, t))
+    refs[:, -8:] = 0.0  # silent tail: truncating the convolution is exact
+    fir = np.array([0.9, -0.3, 0.15, 0.05])
+    est = np.stack([np.convolve(refs[0], fir)[:t],
+                    np.convolve(refs[1], fir[::-1])[:t]])
+    r = bss_eval_sources(est, refs, filter_len=64)
+    assert (r["sdr"] > 60).all(), r["sdr"]
+    assert (r["sir"] > 60).all()
+    assert (r["sar"] > 60).all()
+
+
+# ---------------------------------------------------------- STOI oracle
+
+def _stoi_oracle(x, y):
+    """STOI at 10 kHz by scalar loops straight from Taal et al. (2011),
+    with the pystoi discretizations (hann[1:-1] window, argmin band edges,
+    40 dB VAD, N=30 segments, beta=-15 dB)."""
+    fs, frame, nfft, nbands, fmin, segn, beta, dyn = \
+        10000, 256, 512, 15, 150.0, 30, -15.0, 40.0
+    hop = frame // 2
+    w = np.hanning(frame + 2)[1:-1]
+
+    # --- VAD on x
+    nfr = 1 + (len(x) - frame) // hop
+    eng = []
+    for i in range(nfr):
+        fr = x[i * hop:i * hop + frame] * w
+        eng.append(20 * np.log10(np.sqrt((fr ** 2).sum()) + 1e-12))
+    eng = np.array(eng)
+    keep = [i for i in range(nfr) if eng[i] > eng.max() - dyn]
+    xs = np.zeros((len(keep) - 1) * hop + frame)
+    ys = np.zeros_like(xs)
+    for pos, i in enumerate(keep):
+        xs[pos * hop:pos * hop + frame] += x[i * hop:i * hop + frame] * w
+        ys[pos * hop:pos * hop + frame] += y[i * hop:i * hop + frame] * w
+
+    # --- third-octave band magnitudes
+    f = np.linspace(0, fs, nfft, endpoint=False)[:nfft // 2 + 1]
+    bands = []
+    for k in range(nbands):
+        lo = 2.0 ** ((2 * k - 1) / 6.0) * fmin
+        hi = 2.0 ** ((2 * k + 1) / 6.0) * fmin
+        bands.append((int(np.argmin((f - lo) ** 2)),
+                      int(np.argmin((f - hi) ** 2))))
+
+    def band_spec(sig):
+        n = 1 + (len(sig) - frame) // hop
+        out = np.zeros((nbands, n))
+        for i in range(n):
+            spec = np.abs(np.fft.rfft(sig[i * hop:i * hop + frame] * w,
+                                      n=nfft))
+            for b, (lo_i, hi_i) in enumerate(bands):
+                out[b, i] = np.sqrt((spec[lo_i:hi_i] ** 2).sum())
+        return out
+
+    xb, yb = band_spec(xs), band_spec(ys)
+    cl = 1 + 10 ** (-beta / 20.0)
+    corrs = []
+    for m in range(segn, xb.shape[1] + 1):
+        for b in range(nbands):
+            xseg = xb[b, m - segn:m]
+            yseg = yb[b, m - segn:m]
+            alpha = np.sqrt((xseg ** 2).sum()) / \
+                (np.sqrt((yseg ** 2).sum()) + 1e-12)
+            yc = np.minimum(yseg * alpha, xseg * cl)
+            xm = xseg - xseg.mean()
+            ym = yc - yc.mean()
+            corrs.append((xm * ym).sum() /
+                         (np.sqrt((xm ** 2).sum()) *
+                          np.sqrt((ym ** 2).sum()) + 1e-12))
+    return float(np.mean(corrs))
+
+
+def test_stoi_matches_loop_oracle(rng):
+    """Vectorized production STOI == scalar-loop re-derivation, on a
+    speech-shaped signal (AM-modulated tones + noise) at several SNRs."""
+    fs, dur = 10000, 2.0
+    t = np.arange(int(fs * dur)) / fs
+    am = 0.5 * (1 + np.sin(2 * np.pi * 4.0 * t))
+    clean = am * (np.sin(2 * np.pi * 440 * t) + 0.5 * np.sin(2 * np.pi * 950 * t))
+    clean += 0.02 * rng.standard_normal(len(t))
+    # a quiet stretch so the VAD branch is exercised
+    clean[:fs // 4] *= 0.001
+    for snr_amp in (0.05, 0.3, 1.0):
+        noisy = clean + snr_amp * rng.standard_normal(len(t))
+        got = compute_stoi(clean, noisy, fs)
+        want = _stoi_oracle(clean.astype(np.float64), noisy.astype(np.float64))
+        assert got == pytest.approx(want, abs=1e-8), snr_amp
