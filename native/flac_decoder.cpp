@@ -244,11 +244,17 @@ bool read_residual(BitReader* br, uint32_t block_size, uint32_t predictor_order,
   uint32_t partitions = 1u << porder;
   if (block_size % partitions != 0) return false;
   uint32_t psize = block_size >> porder;
+  // The first partition holds psize - predictor_order residuals: psize <
+  // predictor_order would underflow count below (uint32 wrap -> ~4e9 writes
+  // off the end of *res on a malformed stream), so reject it for ANY
+  // partition count; the single-partition == case is also degenerate.
+  if (psize < predictor_order) return false;
   if (psize <= predictor_order && partitions == 1) return false;
 
   uint32_t idx = predictor_order;
   for (uint32_t p = 0; p < partitions; ++p) {
     uint32_t count = psize - (p == 0 ? predictor_order : 0);
+    if (idx + (uint64_t)count > res->size()) return false;
     uint64_t param;
     if (!br->read_bits(param_bits, &param)) return false;
     if ((uint32_t)param == escape) {

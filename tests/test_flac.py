@@ -142,3 +142,78 @@ def test_flac_without_native_engine_errors(monkeypatch, tmp_path, rng):
     monkeypatch.setattr(audio_io, "_load_native", lambda: None)
     with pytest.raises(ValueError, match="FLAC"):
         audio_io.read(p)
+
+
+def test_malformed_residual_partition_rejected(tmp_path, rng):
+    """A frame whose Rice partition size is SMALLER than the predictor order
+    must be rejected cleanly: count = psize - order would underflow uint32
+    and write ~4e9 residuals off the end of the sample buffer (heap
+    corruption) without the bounds guard in flac_decoder.cpp read_residual."""
+    from flac_writer import BitWriter, _crc8, _crc16, _utf8_number
+
+    block, bits = 256, 16
+    samples = rng.integers(-1000, 1000, size=block).tolist()
+
+    stream = bytearray(b"fLaC")
+    si = bytearray()
+    si += block.to_bytes(2, "big") * 2
+    si += (0).to_bytes(3, "big") * 2
+    si += (((SR << 44) | (0 << 41) | ((bits - 1) << 36) | block)
+           .to_bytes(8, "big"))
+    si += bytes(16)
+    stream += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    hdr = BitWriter()
+    hdr.write(0x3FFE, 14)
+    hdr.write(0, 2)          # reserved + fixed-blocksize strategy
+    hdr.write(7, 4)          # blocksize: 16-bit at end
+    hdr.write(0, 4)          # sample rate from STREAMINFO
+    hdr.write(0, 4)          # 1 channel
+    hdr.write(4, 3)          # 16-bit
+    hdr.write(0, 1)
+    for b in _utf8_number(0):
+        hdr.write(b, 8)
+    hdr.write(block - 1, 16)
+    hdr.align()
+    header_bytes = hdr.getvalue()
+    header_bytes += bytes([_crc8(header_bytes)])
+
+    body = BitWriter()
+    body.write(0, 1)         # subframe padding bit
+    body.write(8 + 2, 6)     # FIXED, order 2
+    body.write(0, 1)         # no wasted bits
+    body.write_signed(samples[0], bits)
+    body.write_signed(samples[1], bits)
+    body.write(0, 2)         # residual method 0
+    body.write(8, 4)         # partition order 8 -> psize = 1 < order 2 (BAD)
+    for _ in range(256):     # plausible-looking partitions so a vulnerable
+        body.write(0, 4)     # decoder keeps consuming
+        body.write(1, 1)     # one unary-coded zero residual
+    body.align()
+    payload = header_bytes + body.getvalue()
+    stream += payload + _crc16(payload).to_bytes(2, "big")
+
+    p = tmp_path / "evil.flac"
+    p.write_bytes(bytes(stream))
+    with pytest.raises(ValueError):
+        audio_io.read(str(p))
+
+
+def test_bitflipped_flac_never_crashes(tmp_path, rng):
+    """Byte-corruption fuzz over the frame region: every mutation must decode
+    to a well-shaped array or raise ValueError — never crash the process."""
+    data = _rand_pcm(rng, 600, 2) // 8
+    good = tmp_path / "good.flac"
+    write_flac(str(good), data, SR, block_size=256, modes="fixed2")
+    raw = bytearray(good.read_bytes())
+    start = 4 + 4 + 34                      # past fLaC + STREAMINFO
+    bad = tmp_path / "bad.flac"
+    for pos in range(start, min(len(raw), start + 300)):
+        mutated = bytearray(raw)
+        mutated[pos] ^= 0xFF
+        bad.write_bytes(bytes(mutated))
+        try:
+            out, _ = audio_io.read(str(bad))
+            assert out.ndim == 2 and out.shape[1] == 2
+        except ValueError:
+            pass
