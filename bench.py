@@ -9,7 +9,13 @@ Baseline: the reference documents 1.5x realtime for the base config on an
 RTX 5090 (README.md:360-368 / CONFIGS_COMPARISON.md; see BASELINE.md).
 ``vs_baseline`` = measured RTF / 1.5.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the canonical JSON line LAST ({"metric", "value", "unit",
+"vs_baseline"} — the driver parses the final line), preceded by a secondary
+training-step line (base config, batch 2, 3 s, dropout 0.1, per-block
+remat — the PERFORMANCE.md training shape).  Reference training baseline:
+their docs predict 25 min/epoch on an RTX 5090 at batch 1 (~86 tracks x
+~40 chunks -> ~0.44 s per batch-1 step; ours is batch 2, so ``vs_baseline``
+= (2/step_s) / (1/0.44) chunk-throughput ratio.
 """
 
 import json
@@ -63,12 +69,68 @@ def main():
 
     audio_sec = batch * seconds * iters
     rtf = audio_sec / elapsed
+
+    train_line = _bench_train_step(cfg, mixture[:2], samples)
+    if train_line:
+        print(train_line)  # secondary metric first; canonical line LAST
     print(json.dumps({
         "metric": "separation_rtf_base_config",
         "value": round(rtf, 3),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / 1.5, 3),
     }))
+
+
+def _bench_train_step(model_cfg, mixture, samples):
+    """Secondary metric: full optimizer step (fwd+bwd+AdamW), base config,
+    batch 2, dropout 0.1, per-block remat — PERFORMANCE.md's training shape."""
+    try:
+        import dataclasses
+        import jax
+        import jax.numpy as jnp
+        from mss_tf_locoformer_tpu.core.config import Config, LossConfig, \
+            TrainingConfig
+        from mss_tf_locoformer_tpu.core.precision import BF16
+        from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+        from mss_tf_locoformer_tpu.train.state import init_state, make_optimizer
+        from mss_tf_locoformer_tpu.train.step import make_train_step
+
+        mcfg = dataclasses.replace(model_cfg, dropout=0.1, remat_blocks=True)
+        cfg = Config(model=mcfg, loss=LossConfig(loss_type="combined"),
+                     training=TrainingConfig(use_amp=True, amp_dtype="bfloat16"))
+        model = TFLocoformerMSS(mcfg, precision=BF16)
+        rng = np.random.default_rng(1)
+        stems = {k: jax.device_put(
+            0.25 * rng.standard_normal((2, samples)).astype(np.float32))
+            for k in ("vocals", "drums", "bass", "other")}
+        params = model.init(jax.random.PRNGKey(0), np.asarray(mixture)[:1])
+        tx = make_optimizer(cfg.training)
+        state = init_state(params, tx)
+        step = make_train_step(model, cfg, tx)
+        key = jax.random.PRNGKey(2)
+
+        def one(state):
+            state, ld = step(state, mixture, stems, 1e-4, key)
+            return state, float(ld["total_loss"])  # forced scalar sync
+
+        state, _ = one(state)  # compile
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, _ = one(state)
+        per_step = (time.perf_counter() - t0) / iters
+        # reference-predicted RTX 5090 pace: ~0.44 s per batch-1 chunk
+        return json.dumps({
+            "metric": "train_step_base_config_b2",
+            "value": round(per_step, 4),
+            "unit": "sec/step",
+            "vs_baseline": round((2.0 / per_step) / (1.0 / 0.44), 3),
+        })
+    except Exception as e:  # secondary metric must never break the bench
+        import sys
+        print(f"train-step bench skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return ""
 
 
 if __name__ == "__main__":
