@@ -79,6 +79,9 @@ def test_overfit_learns_separation(rng):
     from mss_tf_locoformer_tpu.train.state import init_state, make_optimizer
     from mss_tf_locoformer_tpu.train.step import make_train_step
 
+    # NB stem names must be the model's own (SOURCE_NAMES[:2] == vocals,
+    # drums): mss_loss skips prediction keys absent from targets (reference
+    # semantics), so a mis-named target stem would silently never train.
     sr, t = 8000, 8000
     ts = np.arange(t) / sr
     tracks = []
@@ -87,10 +90,10 @@ def test_overfit_learns_separation(rng):
         am = 0.6 * (1.0 + np.sin(2 * np.pi * 3.0 * ts + seed))
         vocals = (0.25 * am * np.sin(2 * np.pi * f0 * ts)).astype(np.float32)
         noise = r.standard_normal(t + 8).astype(np.float32)
-        other = 0.25 * (noise[:-8] - noise[8:])  # high-passed noise
-        tracks.append({"vocals": vocals, "other": other.astype(np.float32)})
-    mixture = np.stack([tr["vocals"] + tr["other"] for tr in tracks])
-    targets = {k: np.stack([tr[k] for tr in tracks]) for k in ("vocals", "other")}
+        drums = 0.25 * (noise[:-8] - noise[8:])  # high-passed noise
+        tracks.append({"vocals": vocals, "drums": drums.astype(np.float32)})
+    mixture = np.stack([tr["vocals"] + tr["drums"] for tr in tracks])
+    targets = {k: np.stack([tr[k] for tr in tracks]) for k in ("vocals", "drums")}
 
     cfg = Config(
         model=ModelConfig(n_fft=256, hop_length=64, n_sources=2, n_layers=2,
