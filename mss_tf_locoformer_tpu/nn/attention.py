@@ -28,15 +28,17 @@ __all__ = ["MultiHeadSelfAttention", "attn_step_applicable"]
 
 def attn_step_applicable(norm_type: str, flash_attention: bool,
                          emb_dim: int, attention_dim: int, n_heads: int,
-                         seq_len: int) -> bool:
+                         seq_len: int, itemsize: int = 2) -> bool:
     """Whether the fully fused norm+MHSA+residual kernel serves this step
-    (the block passes the pre-norm scale into the attention when it does)."""
+    (the block passes the pre-norm scale into the attention when it does).
+    ``itemsize`` = compute dtype width (fp32 doubles the kernel's VMEM
+    footprint vs the production bf16)."""
     from ..ops.pallas import pallas_enabled
     if not (flash_attention and pallas_enabled()
             and norm_type == "rmsgroupnorm"):
         return False
     from ..ops.pallas.attention_block import supports_block
-    return supports_block(emb_dim, attention_dim, n_heads, seq_len)
+    return supports_block(emb_dim, attention_dim, n_heads, seq_len, itemsize)
 
 
 class _Weight(nn.Module):
@@ -96,17 +98,26 @@ class MultiHeadSelfAttention(nn.Module):
         qkv = jnp.moveaxis(qkv, (2, 3), (0, 2))  # [3, B, H, L, D]
         q, k, v = qkv[0], qkv[1], qkv[2]
 
+        # the reference's in-SDPA attention-probability dropout site
+        # (``dropout_p=self.dropout if self.training else 0.0``, ``:524-531``)
+        drop_kw = {}
+        if not deterministic and self.dropout > 0.0:
+            drop_kw = dict(dropout_rate=self.dropout,
+                           dropout_key=self.make_rng("dropout"))
+
         backend = "flash" if self.flash_attention else "auto"
         if self.use_rope and self.flash_attention:
             # RoPE fused into the Pallas kernel (fp32 inside) — saves two
-            # full HBM round-trips of Q and K
+            # full HBM round-trips of Q and K (dropout requests route to
+            # the XLA path inside, which rotates explicitly)
             out = dot_product_attention(q, k, v, backend=backend,
-                                        fused_rope=True)
+                                        fused_rope=True, **drop_kw)
         else:
             if self.use_rope:
                 q = apply_rope(q).astype(self.dtype)  # fp32 island inside
                 k = apply_rope(k).astype(self.dtype)
-            out = dot_product_attention(q, k, v, backend=backend)  # [B,H,L,D]
+            out = dot_product_attention(q, k, v, backend=backend,
+                                        **drop_kw)  # [B,H,L,D]
 
         out = jnp.swapaxes(out, 1, 2).reshape(b, l, self.attention_dim)
         out = Linear(self.attention_dim, self.emb_dim, use_bias=False,

@@ -67,11 +67,13 @@ class LocoformerBlock(nn.Module):
             types = (self.ffn_type,)
             dims = (self.ffn_hidden_dim,)
 
+        itemsize = jnp.dtype(self.dtype).itemsize
         fuse_step = [block_step_applicable(self.norm_type, t, self.fused_ffn,
                                            self.conv1d_kernel,
                                            self.conv1d_shift, s2, d,
                                            self.emb_dim,
-                                           needs_bwd=not deterministic)
+                                           needs_bwd=not deterministic,
+                                           itemsize=itemsize)
                      for t, d in zip(types, dims)]
         ffns = [
             (nn.remat(_FFN[t], static_argnums=(2,)) if self.remat_ffn
@@ -97,7 +99,7 @@ class LocoformerBlock(nn.Module):
 
         fuse_attn = attn_step_applicable(
             self.norm_type, self.flash_attention, self.emb_dim,
-            self.attention_dim, self.n_heads, s2)
+            self.attention_dim, self.n_heads, s2, itemsize=itemsize)
         attn = MultiHeadSelfAttention(
             self.emb_dim, self.attention_dim, n_heads=self.n_heads,
             dropout=self.dropout, use_rope=self.use_rope,

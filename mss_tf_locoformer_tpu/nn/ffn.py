@@ -39,19 +39,21 @@ __all__ = ["SwiGLUConvDeconv1d", "ConvDeconv1d", "block_step_applicable"]
 def block_step_applicable(norm_type: str, ffn_type: str, use_fused: bool,
                           kernel: int, shift: int, seq_len: int,
                           hidden_dim: int, emb_dim: int,
-                          needs_bwd: bool = True) -> bool:
+                          needs_bwd: bool = True, itemsize: int = 2) -> bool:
     """Whether the fully fused norm+FFN+residual kernel serves this step
     (the block passes the pre-norm scale into the FFN when it does).
     Shape-gated on the scoped-VMEM limit: training (``needs_bwd``) also
     requires the backward kernel to fit — otherwise the step runs as
-    norm + the plain fused FFN kernel, both VMEM-safe on their own."""
+    norm + the plain fused FFN kernel, both VMEM-safe on their own.
+    ``itemsize`` = the compute dtype width (fp32 rows double the VMEM
+    footprint and gate out shapes bf16 admits)."""
     from ..ops.pallas import pallas_enabled
     from ..ops.pallas.swiglu_block import supports_step
     return (use_fused and pallas_enabled() and norm_type == "rmsgroupnorm"
             and ffn_type == "swiglu_conv1d"
             and swiglu_ffn.supports(kernel, shift)
             and supports_step(seq_len, emb_dim, hidden_dim, kernel,
-                              bwd=needs_bwd))
+                              bwd=needs_bwd, itemsize=itemsize))
 
 
 def _pad_len(s2: int, kernel: int, shift: int) -> int:

@@ -4,11 +4,10 @@ One Pallas kernel for the whole LocoformerBlock attention sub-step
 (reference ``models/mss_tflocoformer.py:443-464,467-559``): the fp32
 pre-norm island, the fused QKV projection, per-head RoPE + flash attention
 (transposed layout, bounded-shift softmax — see ``flash_attention.py``),
-the head-aggregate output projection, the reference's post-projection
-dropout (``:489``), and the residual add all run on VMEM-resident rows.
-NB the reference ALSO drops attention probabilities inside SDPA
-(``:524-531``); that site is intentionally omitted framework-wide — see
-PERFORMANCE.md "Dropout-site divergence".
+the head-aggregate output projection, BOTH of the reference's dropout
+sites — the in-SDPA attention-probability dropout (``:524-531``, masked on
+the softmax numerator per 128-lane q-subtile) and the post-projection
+dropout (``:489``) — and the residual add all run on VMEM-resident rows.
 Measured on v5e the unfused XLA side of an MHSA call (projections +
 head-layout moves around the flash kernel) cost ~11 ms at freq-path shapes
 and ~17 ms at time-path shapes — pure HBM round-trips of Q/K/V/O-sized
@@ -54,6 +53,43 @@ _VMEM_TARGET = 13 * 1024 * 1024
 _FWD_BLK_BUDGET = 11 * 1024 * 1024
 _VMEM_TARGET_FWD = 15 * 1024 * 1024
 
+_PROB_SEED_OFFSET = 0x85EB_CA6B - (1 << 32)  # decorrelates the prob site
+_PROB_TILE_STRIDE = 0x9E3779B9  # golden-ratio mix of (head, q-subtile)
+
+
+def _prob_keep(seed_ref, group: int, gi: int, lp: int, h: int, qt: int,
+               rate: float):
+    """``[Lp, 128]`` keep mask for the attention-PROBABILITY dropout site
+    (the reference's in-SDPA ``dropout_p`` site) at absolute q-subtile
+    ``qt`` of head ``h``.  The counter PRNG is seeded by the trace-time
+    (head, subtile) mix word and the absolute row index, so forward and
+    backward regenerate identical masks regardless of their own q-block
+    widths (any 128-multiple tiling decomposes into these subtiles)."""
+    row_idx = pl.program_id(0) * group + gi
+    mix = ((h * 1024 + qt + 1) * _PROB_TILE_STRIDE + _PROB_SEED_OFFSET) \
+        & 0xFFFFFFFF
+    mix = mix - (1 << 32) if mix >= (1 << 31) else mix
+    pltpu.prng_seed(seed_ref[0] + jnp.int32(mix), row_idx)
+    bits = jax.lax.bitwise_and(
+        pltpu.prng_random_bits((lp, 128)).astype(jnp.int32),
+        jnp.int32(0x7FFFFFFF))
+    return bits < jnp.int32(int((1.0 - rate) * (1 << 31)))
+
+
+def _drop_probs(p, seed_ref, group: int, gi: int, h: int, qb: int,
+                blk_q: int, rate: float):
+    """Apply the probability-dropout mask to the ``[Lp, BLK]`` numerator
+    block (survivors scaled by 1/keep; the denominator stays the UNDROPPED
+    softmax sum, matching torch's drop-after-normalize semantics)."""
+    lp = p.shape[0]
+    nq = blk_q // 128
+    ikp = 1.0 / (1.0 - rate)
+    subs = []
+    for tq in range(nq):
+        keep = _prob_keep(seed_ref, group, gi, lp, h, qb * nq + tq, rate)
+        subs.append(jnp.where(keep, p[:, tq * 128:(tq + 1) * 128] * ikp, 0.0))
+    return subs[0] if nq == 1 else jnp.concatenate(subs, axis=1)
+
 
 def _dims(emb_dim: int, attention_dim: int, n_heads: int):
     head_dim = attention_dim // n_heads
@@ -75,20 +111,24 @@ def _blk_q(lp: int, budget: int = 4 * 1024 * 1024) -> int:
     return best
 
 
-def _vmem_bytes(lp: int, cp: int, hp: int, blk_q: int, bwd: bool) -> int:
-    rows = 2 * (3 if bwd else 2) * lp * cp * 2    # x(+g) in / out, dbuffered
+def _vmem_bytes(lp: int, cp: int, hp: int, blk_q: int, bwd: bool,
+                itemsize: int = 2) -> int:
+    """``itemsize`` = compute dtype width: the row buffers, packed q/k/v
+    intermediates, and weight panels all carry the caller's dtype (fp32
+    doubles them vs the production bf16)."""
+    rows = 2 * (3 if bwd else 2) * lp * cp * itemsize  # x(+g)/out, dbuffered
     n_inter = 10 if bwd else 2
-    inter = (n_inter * lp * cp * 4 + (6 if bwd else 3) * lp * hp * 2
-             + lp * hp * 4)
+    inter = (n_inter * lp * cp * 4
+             + (6 if bwd else 3) * lp * hp * itemsize + lp * hp * 4)
     scores = (4 if bwd else 2) * lp * blk_q * 4
-    weights = 4 * hp * cp * 2 + cp * cp * 4 + 2 * 32 * lp * 4
+    weights = 4 * hp * cp * itemsize + cp * cp * 4 + 2 * 32 * lp * 4
     if bwd:
         weights += 3 * hp * cp * 4 + cp * hp * 4  # fp32 grad accumulators
     return rows + inter + scores + weights
 
 
 def supports_block(emb_dim: int, attention_dim: int, n_heads: int,
-                   seq_len: int) -> bool:
+                   seq_len: int, itemsize: int = 2) -> bool:
     """Whether the fused attention-step kernel (fwd AND bwd) fits VMEM."""
     if attention_dim % n_heads:
         return False
@@ -96,17 +136,20 @@ def supports_block(emb_dim: int, attention_dim: int, n_heads: int,
     lp = _round_up(seq_len, LANE)
     if seq_len > MAX_L:
         return False
-    return (_vmem_bytes(lp, cp, hp, _blk_q(lp, _FWD_BLK_BUDGET), False)
-            < _VMEM_TARGET_FWD
-            and _vmem_bytes(lp, cp, hp, _blk_q(lp, 2 * 1024 * 1024), True)
-            < _VMEM_TARGET)
+    return (_vmem_bytes(lp, cp, hp, _blk_q(lp, _FWD_BLK_BUDGET), False,
+                        itemsize) < _VMEM_TARGET_FWD
+            and _vmem_bytes(lp, cp, hp, _blk_q(lp, 2 * 1024 * 1024), True,
+                            itemsize) < _VMEM_TARGET)
 
 
-def _pick_group(lp: int, cp: int, hp: int, blk_q: int, bwd: bool) -> int:
-    fixed = _vmem_bytes(lp, cp, hp, blk_q, bwd)
-    per_row = 2 * (3 if bwd else 2) * lp * cp * 2 + \
+def _pick_group(lp: int, cp: int, hp: int, blk_q: int, bwd: bool,
+                extra: int = 0, itemsize: int = 2) -> int:
+    """``extra`` = additional fixed live bytes the caller knows about (the
+    probability-dropout mask/Pd blocks, absent from ``_vmem_bytes``)."""
+    fixed = _vmem_bytes(lp, cp, hp, blk_q, bwd, itemsize) + extra
+    per_row = 2 * (3 if bwd else 2) * lp * cp * itemsize + \
         ((10 if bwd else 2) * lp * cp * 4
-         + (6 if bwd else 3) * lp * hp * 2 + lp * hp * 4)
+         + (6 if bwd else 3) * lp * hp * itemsize + lp * hp * 4)
     target = _VMEM_TARGET if bwd else _VMEM_TARGET_FWD
     g = 1 + max(0, (target - fixed) // per_row)
     return int(min(g, 16))
@@ -161,6 +204,9 @@ def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                                        lb=_diag_lb(q_t, k_t, qsl))
                 p = _softmax_num(s, shift)
                 denom = jnp.sum(p, axis=0, keepdims=True)
+                if drop_rate > 0.0:  # reference's in-SDPA probability site
+                    p = _drop_probs(p, seed_ref, group, gi, h, qb, blk_q,
+                                    drop_rate)
                 acc = jax.lax.dot_general(
                     v_t, p.astype(v_t.dtype), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # [dp, BLK]
@@ -243,8 +289,10 @@ def fused_attention_block(x, gamma, w_qkv, w_out, n_heads: int,
     gamma ``[C]`` is the pre-norm RMSGroupNorm scale (``x/(rms+eps)*gamma``
     quirk preserved); ``w_qkv [3*A, C]`` / ``w_out [C, A]`` are the torch-
     layout projection weights (reference ``mss_tflocoformer.py:485-486``).
-    With ``drop_rate > 0`` the post-projection dropout runs in-kernel from
-    the int32 ``seed [1]``; the backward replays the identical mask.
+    With ``drop_rate > 0`` BOTH reference dropout sites run in-kernel from
+    the int32 ``seed [1]`` — attention probabilities (the reference's SDPA
+    ``dropout_p``, same rate) and the projected output; the backward
+    replays both masks bit-identically.
     """
     return _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
                          rope, theta, drop_rate, seed)
@@ -254,8 +302,18 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
                   rope, theta, drop_rate=0.0, seed=None):
     _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
     lp = _round_up(x.shape[1], LANE)
-    blk_q = _blk_q(lp, _FWD_BLK_BUDGET)
-    group = _pick_group(lp, cp, hp, blk_q, bwd=False)
+    if drop_rate > 0.0:
+        # probability dropout keeps a third [Lp, BLK]-class buffer (the
+        # masked numerator) live: 2/3 budget bounds 3 buffers by the same
+        # bytes supports_block charged for 2
+        blk_q = _blk_q(lp, _FWD_BLK_BUDGET * 2 // 3)
+        group = _pick_group(lp, cp, hp, blk_q, bwd=False,
+                            extra=lp * blk_q * 4,
+                            itemsize=jnp.dtype(x.dtype).itemsize)
+    else:
+        blk_q = _blk_q(lp, _FWD_BLK_BUDGET)
+        group = _pick_group(lp, cp, hp, blk_q, bwd=False,
+                            itemsize=jnp.dtype(x.dtype).itemsize)
     geo = _prep(x, gamma, w_qkv, w_out, n_heads, num_groups, rope, theta,
                 group)
     r, seq_len, c = geo["r"], geo["seq_len"], geo["c"]
@@ -346,13 +404,24 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                                        lb=_diag_lb(q_t, k_t, qsl))
                 p = _softmax_num(s, shift)
                 p = p / jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
-                p_c = p.astype(dt)
+                if drop_rate > 0.0:
+                    # replay the forward's probability mask: Pd feeds the o
+                    # recompute and dv; the P cotangent is the same mask
+                    # applied to V^T dO (drop-after-normalize semantics)
+                    pd = _drop_probs(p, seed_ref, group, gi, h, qb, blk_q,
+                                     drop_rate)
+                else:
+                    pd = p
+                pd_c = pd.astype(dt)
                 o_blocks.append(jax.lax.dot_general(
-                    v_t, p_c, (((1,), (0,)), ((), ())),
+                    v_t, pd_c, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))       # [dp, BLK]
                 dp_ = jax.lax.dot_general(
                     v_t, do_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # [Lp, BLK]
+                if drop_rate > 0.0:
+                    dp_ = _drop_probs(dp_, seed_ref, group, gi, h, qb, blk_q,
+                                      drop_rate)
                 ds = p * (dp_ - jnp.sum(p * dp_, axis=0, keepdims=True))
                 ds_c = ds.astype(dt)
                 dq_blocks.append(jax.lax.dot_general(
@@ -362,7 +431,7 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                     q_t, ds_c, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 dv_acc += jax.lax.dot_general(
-                    do_t, p_c, (((1,), (1,)), ((), ())),
+                    do_t, pd_c, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
             o_heads.append(o_blocks[0] if len(o_blocks) == 1
                            else jnp.concatenate(o_blocks, axis=1))
@@ -425,8 +494,17 @@ def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
                           rope, theta, drop_rate, seed, g):
     _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
     lp = _round_up(x.shape[1], LANE)
-    blk_q = _blk_q(lp, 2 * 1024 * 1024)
-    group = _pick_group(lp, cp, hp, blk_q, bwd=True)
+    if drop_rate > 0.0:
+        # 128-wide q-blocks = exactly one mask subtile per block; the extra
+        # live blocks (keep/Pd/dPm) are [Lp, 128] each
+        blk_q = 128
+        group = _pick_group(lp, cp, hp, blk_q, bwd=True,
+                            extra=3 * lp * 128 * 4,
+                            itemsize=jnp.dtype(x.dtype).itemsize)
+    else:
+        blk_q = _blk_q(lp, 2 * 1024 * 1024)
+        group = _pick_group(lp, cp, hp, blk_q, bwd=True,
+                            itemsize=jnp.dtype(x.dtype).itemsize)
     geo = _prep(x, gamma, w_qkv, w_out, n_heads, num_groups, rope, theta,
                 group)
     r, seq_len, c = geo["r"], geo["seq_len"], geo["c"]

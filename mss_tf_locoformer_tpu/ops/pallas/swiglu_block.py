@@ -69,42 +69,63 @@ def _inner_keep(seed_ref, group: int, gi: int, shape, rate: float):
     return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=1)
 
 
-def _bwd_fixed_bytes(lp: int, cp: int, ip: int, k: int) -> int:
+def _bwd_fixed_bytes(lp: int, cp: int, ip: int, k: int,
+                     itemsize: int = 2) -> int:
     """Group-independent live bytes of the IT-tiled backward kernel.  The
-    wide intermediates are [lp, IT] per tile (~26 B/elem across the fp32
-    values + bf16 casts); full-length buffers are all [lp, cp]."""
-    inter = 26 * lp * IT                    # per-tile yv/yg/dh/dyv/dyg + casts
+    wide intermediates are [lp, IT] per tile (bf16 rows: ~26 B/elem across
+    the fp32 values + bf16 casts; fp32 rows measured 45 B/elem — the
+    compiler found 17.76 MiB total at lp 1056 / ip 384 / k 4 / group 1
+    fp32, which this calibration reproduces); full-length buffers are all
+    [lp, cp]."""
+    inter = (26 if itemsize == 2 else 45) * lp * IT
     inter += 7 * lp * cp * 4                # x32/xn(+cast)/dz/dxn/t_grp/rolls
-    w_bytes = 3 * k * cp * ip * 2 + 3 * k * cp * ip * 4  # panels + dW accums
+    w_bytes = 3 * k * cp * ip * itemsize + 3 * k * cp * ip * 4  # panels+accum
     return inter + w_bytes
 
 
 def supports_step(s2: int, c: int, inner: int, k: int,
-                  bwd: bool = True) -> bool:
+                  bwd: bool = True, itemsize: int = 2) -> bool:
     """Whether the fused norm+FFN+residual kernel fits the 16 MiB
     scoped-VMEM limit at this shape.  ``bwd=True`` additionally requires
     the backward kernel to fit (training); inference-only callers pass
-    ``bwd=False``.  The round-3 IT-tiled backward admits the freq-path
-    training shape (lp 1056 x inner 384) that round 2 had to gate out.
-    When unsupported, the block runs norm + the plain fused FFN kernel
-    (separate ops, both VMEM-safe)."""
+    ``bwd=False``.  ``itemsize`` is the row dtype width — the fused
+    backward fits freq-path training shapes in the production bf16 but NOT
+    in fp32 (measured; fp32 training routes to norm + the plain fused FFN
+    kernel).  The round-3 IT-tiled backward admits the bf16 freq-path
+    training shape (lp 1056 x inner 384) that round 2 had to gate out."""
     lp = _round_up(s2, SUBLANE) + SUBLANE
     cp = _round_up(c, LANE)
     ip = _round_up(inner, LANE)
     if bwd:
-        io_row = 2 * 3 * lp * cp * 2
-        return _bwd_fixed_bytes(lp, cp, ip, k) + io_row < _BWD_VMEM_TARGET
-    io_row = 2 * 2 * lp * cp * 2
-    fwd_fixed = 5 * lp * ip * 4 + 3 * k * cp * ip * 2
+        io_row = 2 * 3 * lp * cp * itemsize + 450 * 1024  # + per-row spills
+        return (_bwd_fixed_bytes(lp, cp, ip, k, itemsize) + io_row
+                < _BWD_VMEM_TARGET)
+    io_row = 2 * 2 * lp * cp * itemsize
+    fwd_fixed = 5 * lp * ip * 4 + 3 * k * cp * ip * itemsize
     return fwd_fixed + io_row < _VMEM_TARGET
 
 
-def _pick_group(lp: int, cp: int, ip: int, k: int, bwd: bool) -> int:
-    io_row = 2 * (3 if bwd else 2) * lp * cp * 2
+def _pick_group(lp: int, cp: int, ip: int, k: int, bwd: bool,
+                itemsize: int = 2, extra: int = 0) -> int:
+    """``itemsize`` = bytes per element of the ROW buffers (the gates in
+    ``supports_step`` assume the production bf16; an fp32 caller doubles
+    the double-buffered row I/O, so group picking must know — measured:
+    the freq-path fp32 backward at the bf16-estimated group=4 exceeds the
+    scoped-VMEM limit by 1.8 MiB).  ``extra`` = caller-known fixed bytes
+    (dropout mask tiles)."""
+    io_row = 2 * (3 if bwd else 2) * lp * cp * itemsize
     if bwd:
-        budget = _BWD_VMEM_TARGET - _bwd_fixed_bytes(lp, cp, ip, k)
+        # each unrolled row iteration leaves ~0.45 MiB of register-spill
+        # stack the scoped accounting charges per iteration (measured:
+        # time-path bf16 at group 18 hit 20.73 MiB vs the 13.5 MiB
+        # buffer-level estimate; freq-path at group 4 fits — a constant
+        # per-row leftover reproduces both)
+        io_row += 450 * 1024
+        budget = (_BWD_VMEM_TARGET
+                  - _bwd_fixed_bytes(lp, cp, ip, k, itemsize) - extra)
     else:
-        budget = _VMEM_TARGET - 5 * lp * ip * 4 - 3 * k * cp * ip * 2
+        budget = (_VMEM_TARGET - 5 * lp * ip * 4
+                  - 3 * k * cp * ip * itemsize - extra)
     g = max(1, budget // io_row)
     return int(min(g, 32))
 
@@ -216,7 +237,9 @@ def _blk_forward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
     cp = _round_up(c, LANE)
     ip = _round_up(inner, LANE)
     lp = _round_up(s2, SUBLANE) + SUBLANE
-    group = _pick_group(lp, cp, ip, k, bwd=False)
+    group = _pick_group(lp, cp, ip, k, bwd=False,
+                        itemsize=jnp.dtype(x.dtype).itemsize,
+                        extra=(lp * IT * 8 if drop_rate > 0.0 else 0))
     rp = _round_up(r, group)
     xp = jnp.pad(x, ((0, rp - r), (0, lp - s2), (0, cp - c)))
     gp = jnp.zeros((1, cp), jnp.float32).at[0, :c].set(
@@ -288,16 +311,17 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
         ddb_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
 
         live_h = (jax.lax.broadcasted_iota(jnp.int32, (lp, IT), 0) < l1)
-        bv32 = bv_ref[...].astype(jnp.float32)
-        bg32 = bg_ref[...].astype(jnp.float32)
         dxn = jnp.zeros((lp, x32.shape[1]), jnp.float32)
         for t in range(ipp // IT):
             sl = slice(t * IT, (t + 1) * IT)
             # recompute conv + gate for this channel tile (rolls recomputed
             # rather than stashed per tap — k live [Lp, Cp] copies cost
-            # ~2 MiB of scoped VMEM, measured in round 2)
-            yv = bv32[:, sl]
-            yg = bg32[:, sl]
+            # ~2 MiB of scoped VMEM, measured in round 2).  Biases arrive
+            # TILED [nt, 1, IT]: a [1, IT] slice of a [1, ip] row at lane
+            # offset t*IT cannot legally broadcast over sublanes (Mosaic
+            # "Invalid input layout" — broadcasts need lane offset 0)
+            yv = bv_ref[t].astype(jnp.float32)
+            yg = bg_ref[t].astype(jnp.float32)
             for j in range(k):
                 sh = diff_ks - j
                 xs = (pltpu.roll(xn, sh, 0) if sh else xn).astype(dt)
@@ -359,8 +383,8 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
                 dwd_ref[j, sl, :] += jax.lax.dot_general(
                     gate, dzr, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            dbv_ref[:, sl] += jnp.sum(dyv, axis=0, keepdims=True)
-            dbg_ref[:, sl] += jnp.sum(dyg, axis=0, keepdims=True)
+            dbv_ref[t] += jnp.sum(dyv, axis=0, keepdims=True)
+            dbg_ref[t] += jnp.sum(dyg, axis=0, keepdims=True)
 
         dxn = jnp.where(live_x, dxn, 0.0)
         # norm backward: dx = gamma*inv*dxn - x * T * inv^2 / (dpg * rms)
@@ -385,7 +409,9 @@ def _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
     cp = _round_up(c, LANE)
     ip = _round_up(inner, LANE)
     lp = _round_up(s2, SUBLANE) + SUBLANE
-    group = _pick_group(lp, cp, ip, k, bwd=True)
+    group = _pick_group(lp, cp, ip, k, bwd=True,
+                        itemsize=jnp.dtype(x.dtype).itemsize,
+                        extra=(lp * IT * 8 if drop_rate > 0.0 else 0))
     rp = _round_up(r, group)
     xp = jnp.pad(x, ((0, rp - r), (0, lp - s2), (0, cp - c)))
     gpad = jnp.pad(g.astype(x.dtype),
@@ -395,6 +421,9 @@ def _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
     bd = _blockdiag(c, cp, num_groups)
     wv, wg, wd, bv, bg, _ = _panels(conv_w, conv_b, deconv_w, deconv_b,
                                     c, inner, k, cp, ip, x.dtype)
+    nt = ip // IT
+    bv_t = bv.reshape(nt, 1, IT)  # lane-offset-0 tiles (see kernel comment)
+    bg_t = bg.reshape(nt, 1, IT)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -411,23 +440,25 @@ def _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
         grid=(rp // group,),
         in_specs=[row(), const((1, cp)), const((cp, cp)),
                   const((k, cp, ip)), const((k, cp, ip)), const((k, ip, cp)),
-                  const((1, ip)), const((1, ip)),
+                  const((nt, 1, IT)), const((nt, 1, IT)),
                   pl.BlockSpec(memory_space=pltpu.SMEM), row()],
         out_specs=(row(), const((1, cp)), const((k, cp, ip)),
-                   const((k, cp, ip)), const((k, ip, cp)), const((1, ip)),
-                   const((1, ip)), const((1, cp))),
+                   const((k, cp, ip)), const((k, ip, cp)),
+                   const((nt, 1, IT)), const((nt, 1, IT)), const((1, cp))),
         out_shape=(
             jax.ShapeDtypeStruct((rp, lp, cp), x.dtype),
             jax.ShapeDtypeStruct((1, cp), f32),
             jax.ShapeDtypeStruct((k, cp, ip), f32),
             jax.ShapeDtypeStruct((k, cp, ip), f32),
             jax.ShapeDtypeStruct((k, ip, cp), f32),
-            jax.ShapeDtypeStruct((1, ip), f32),
-            jax.ShapeDtypeStruct((1, ip), f32),
+            jax.ShapeDtypeStruct((nt, 1, IT), f32),
+            jax.ShapeDtypeStruct((nt, 1, IT), f32),
             jax.ShapeDtypeStruct((1, cp), f32),
         ),
-    )(xp, gmp, bd, wv, wg, wd, bv, bg, seed, gpad)
+    )(xp, gmp, bd, wv, wg, wd, bv_t, bg_t, seed, gpad)
     dx, dgm, dwv, dwg, dwd, dbv, dbg, ddb = outs
+    dbv = dbv.reshape(1, ip)
+    dbg = dbg.reshape(1, ip)
 
     dx = dx[:r, :s2, :c].astype(x.dtype)
     dgamma = dgm[0, :c].astype(gamma.dtype)

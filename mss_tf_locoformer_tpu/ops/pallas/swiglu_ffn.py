@@ -49,12 +49,14 @@ def supports(kernel: int, shift: int) -> bool:
     return shift == 1 and 1 < kernel <= 8
 
 
-def _pick_group(lp: int, cp: int, ip: int, k: int) -> int:
+def _pick_group(lp: int, cp: int, ip: int, k: int,
+                itemsize: int = 2) -> int:
     """Rows per program under the VMEM budget (inputs/outputs double-
-    buffered; conv intermediates ~3 row-sized fp32 buffers)."""
-    io_row = 2 * (lp * cp * 2) * 2            # x + z, double-buffered, bf16
+    buffered; conv intermediates ~3 row-sized fp32 buffers).  ``itemsize``
+    = row/panel dtype width (fp32 callers double those terms)."""
+    io_row = 2 * (lp * cp * itemsize) * 2     # x + z, double-buffered
     inter = 3 * lp * ip * 4                   # yv, yg, gate (fp32)
-    w_bytes = 3 * k * cp * ip * 2
+    w_bytes = 3 * k * cp * ip * itemsize
     g = max(1, (_VMEM_TARGET - inter - w_bytes) // io_row)
     return int(min(g, 32))
 
@@ -149,7 +151,8 @@ def _forward(x, conv_w, conv_b, deconv_w, deconv_b, kernel,
     cp = _round_up(c, LANE)
     ip = _round_up(inner, LANE)
     lp = _round_up(l_in, SUBLANE) + SUBLANE  # headroom so rolls wrap zeros
-    group = _pick_group(lp, cp, ip, k)
+    group = _pick_group(lp, cp, ip, k,
+                        itemsize=jnp.dtype(x.dtype).itemsize)
     rp = _round_up(r, group)
     xp = jnp.pad(x, ((0, rp - r), (0, lp - l_in), (0, cp - c)))
 
@@ -209,13 +212,14 @@ def _fwd(x, conv_w, conv_b, deconv_w, deconv_b, kernel, drop_rate,
     return out, (x, conv_w, conv_b, deconv_w, deconv_b, seed)
 
 
-def _pick_group_bwd(lp: int, cp: int, ip: int, k: int) -> int:
+def _pick_group_bwd(lp: int, cp: int, ip: int, k: int,
+                    itemsize: int = 2) -> int:
     """Rows per program for the backward kernel: ~6 fp32 [Lp, Ip]
     intermediates live next to the double-buffered x/dz/dx rows and the
     resident fp32 weight-grad accumulators."""
-    io_row = 2 * 3 * lp * cp * 2              # x, dz, dx double-buffered bf16
+    io_row = 2 * 3 * lp * cp * itemsize       # x, dz, dx double-buffered
     inter = 6 * lp * ip * 4
-    w_bytes = 3 * k * cp * ip * 2 + 3 * k * cp * ip * 4  # panels + fp32 accums
+    w_bytes = 3 * k * cp * ip * itemsize + 3 * k * cp * ip * 4
     g = max(1, (_VMEM_TARGET - inter - w_bytes) // io_row)
     return int(min(g, 32))
 
@@ -322,7 +326,8 @@ def _backward_pallas(x, conv_w, conv_b, deconv_w, deconv_b, kernel, g,
     cp = _round_up(c, LANE)
     ip = _round_up(inner, LANE)
     lp = _round_up(l_in, SUBLANE) + SUBLANE
-    group = _pick_group_bwd(lp, cp, ip, k)
+    group = _pick_group_bwd(lp, cp, ip, k,
+                            itemsize=jnp.dtype(x.dtype).itemsize)
     rp = _round_up(r, group)
     xp = jnp.pad(x, ((0, rp - r), (0, lp - l_in), (0, cp - c)))
     gp = jnp.pad(g.astype(x.dtype),

@@ -243,3 +243,83 @@ def test_bounded_shift_guard_fused_block(rng):
     assert np.abs(delta_g).max() > 1e-4, "attention output underflowed to zero"
     scale = max(np.abs(delta_w).max(), 1.0)
     np.testing.assert_allclose(delta_g, delta_w, atol=2e-3 * scale, rtol=1e-2)
+
+
+# ------------------- attention-probability dropout (reference SDPA site)
+
+
+def test_prob_dropout_matches_torch_semantics(rng):
+    """Drop-after-normalize: the xla path with a fixed mask must equal
+    softmax(QK^T/sqrt d) with survivors scaled by 1/keep and NO
+    renormalization, times V — torch's ``dropout_p`` semantics
+    (reference ``models/mss_tflocoformer.py:524-531``)."""
+    q, k, v = _rand_qkv(rng, b=2, h=2, l=24, d=8)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    key = jax.random.PRNGKey(7)
+    rate = 0.4
+    got = np.asarray(_xla_attention(qj, kj, vj, rate, key))
+
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(q.shape[-1])
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    keep = np.asarray(jax.random.bernoulli(key, 1.0 - rate, probs.shape))
+    dropped = np.where(keep, probs / (1.0 - rate), 0.0)
+    want = np.einsum("bhqk,bhkd->bhqd", dropped, v)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # the mask actually dropped something
+    assert keep.mean() < 0.95
+
+
+def test_prob_dropout_chunked_replays_per_row_keys(rng):
+    """The chunked path derives one mask key per flattened row; its output
+    must equal per-row xla attention with the same split keys (pins the
+    replay scheme — jax.checkpoint must regenerate identical masks in the
+    backward)."""
+    q, k, v = _rand_qkv(rng, b=3, h=2, l=16, d=8)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    key = jax.random.PRNGKey(3)
+    rate = 0.3
+    budget = 4 * 16 * 16 * 2  # 2 rows per chunk; 6 rows total
+    got = np.asarray(_chunked_attention(qj, kj, vj, budget, rate, key))
+
+    rows = qj.reshape(6, 16, 8), kj.reshape(6, 16, 8), vj.reshape(6, 16, 8)
+    row_keys = jax.random.split(key, 6)
+    want = np.stack([
+        np.asarray(_xla_attention(rows[0][i], rows[1][i], rows[2][i],
+                                  rate, row_keys[i]))
+        for i in range(6)]).reshape(3, 2, 16, 8)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_prob_dropout_gradient_deterministic(rng):
+    """grad through the chunked dropout path runs and is reproducible (the
+    checkpoint recompute sees the same keys)."""
+    q, k, v = _rand_qkv(rng, b=2, h=1, l=16, d=8)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    key = jax.random.PRNGKey(11)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(_chunked_attention(q_, k_, v_, 4 * 16 * 16,
+                                          0.25, key) ** 2)
+
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(qj, kj, vj)
+    g2 = jax.grad(loss, argnums=(0, 1, 2))(qj, kj, vj)
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and differs from the dropout-free gradient (the mask took effect)
+    g0 = jax.grad(lambda a, b, c: jnp.sum(
+        _xla_attention(a, b, c) ** 2), argnums=(0, 1, 2))(qj, kj, vj)
+    assert not np.allclose(np.asarray(g1[0]), np.asarray(g0[0]))
+
+
+def test_flash_backend_declines_prob_dropout(rng):
+    """backend='flash' with a dropout request must not reach the Pallas
+    kernel (it has no probability site) — it routes to the XLA path and
+    still applies RoPE explicitly."""
+    from mss_tf_locoformer_tpu.ops.rope import apply_rope
+    q, k, v = _rand_qkv(rng, b=2, h=1, l=32, d=8)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    key = jax.random.PRNGKey(5)
+    got = dot_product_attention(qj, kj, vj, backend="flash", fused_rope=True,
+                                dropout_rate=0.3, dropout_key=key)
+    want = _xla_attention(apply_rope(qj), apply_rope(kj), vj, 0.3, key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -98,9 +98,10 @@ def test_grad_runs_through_custom_vjp(rng):
 
 def test_dropout_scaling_interpret(rng):
     """In interpret mode the PRNG yields all-zero bits -> every element is
-    kept, so dropout reduces to the 1/(1-rate) scale on the attention
-    contribution — checks the fwd wiring and that bwd replays the same
-    (all-keep) mask.  Real mask statistics are TPU-only."""
+    kept, so BOTH dropout sites (attention probabilities + post-projection)
+    reduce to a 1/(1-rate) scale each on the attention contribution —
+    checks the fwd wiring of the two sites and that bwd replays the same
+    (all-keep) masks.  Real mask statistics are TPU-only."""
     if _TPU:
         pytest.skip("interpret-mode-only check")
     args = _args(rng)
@@ -110,7 +111,9 @@ def test_dropout_scaling_interpret(rng):
         drop = np.asarray(AB.fused_attention_block(*args, 2, 4, 1e-5, True,
                                                    10000.0, 0.5, seed))
     x = np.asarray(args[0])
-    np.testing.assert_allclose(drop - x, (base - x) / 0.5, atol=1e-5, rtol=1e-5)
+    # (1/keep) from the probability site x (1/keep) from the projection site
+    np.testing.assert_allclose(drop - x, (base - x) / 0.25,
+                               atol=1e-5, rtol=1e-5)
 
     g = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
     with _ctx():
@@ -122,7 +125,8 @@ def test_dropout_scaling_interpret(rng):
         dx_0 = np.asarray(vjp_0(g)[0])
     gn = np.asarray(g)
     # dx = g (residual) + attn-path cotangent; the latter scales by 1/keep
-    np.testing.assert_allclose(dx_d - gn, (dx_0 - gn) / 0.5,
+    # at each of the two sites
+    np.testing.assert_allclose(dx_d - gn, (dx_0 - gn) / 0.25,
                                atol=1e-4, rtol=1e-3)
 
 
@@ -151,3 +155,69 @@ def test_batch_padding(rng):
         got = np.asarray(AB.fused_attention_block(*args, 2, 4, 1e-5, True))
     scale = max(np.abs(want).max(), 1.0)
     np.testing.assert_allclose(got, want, atol=_ATOL * scale, rtol=_RTOL)
+
+
+@pytest.mark.skipif(not _TPU, reason="in-kernel PRNG is TPU-only")
+def test_prob_dropout_statistics_tpu(rng):
+    """On the real chip: with both dropout sites live at rate r, the
+    attention contribution is a random sparsification — its expectation
+    over seeds approaches the deterministic output, and single-seed outputs
+    are reproducible and seed-sensitive."""
+    args = _args(rng, r=2, l=128, c=32, a=32)
+    base = np.asarray(AB.fused_attention_block(*args, 2, 4, 1e-5, True))
+    x = np.asarray(args[0])
+
+    s1 = jnp.asarray([101], jnp.int32)
+    d1 = np.asarray(AB.fused_attention_block(*args, 2, 4, 1e-5, True,
+                                             10000.0, 0.3, s1))
+    d1b = np.asarray(AB.fused_attention_block(*args, 2, 4, 1e-5, True,
+                                              10000.0, 0.3, s1))
+    np.testing.assert_array_equal(d1, d1b)  # same seed -> same masks
+    d2 = np.asarray(AB.fused_attention_block(*args, 2, 4, 1e-5, True,
+                                             10000.0, 0.3,
+                                             jnp.asarray([202], jnp.int32)))
+    assert not np.allclose(d1, d2)          # different seed -> different masks
+
+    # post-projection zeros: a dropped output element equals the residual
+    # exactly; at rate 0.3 roughly 30% of elements should
+    frac_res = np.mean(np.isclose(d1 - x, 0.0, atol=1e-7))
+    assert 0.2 < frac_res < 0.4, frac_res
+
+    # seed-averaged contribution approaches the deterministic one (the two
+    # sites are unbiased: E[mask/keep] = 1)
+    acc = np.zeros_like(base)
+    n = 48
+    for s in range(n):
+        acc += np.asarray(AB.fused_attention_block(
+            *args, 2, 4, 1e-5, True, 10000.0, 0.3,
+            jnp.asarray([1000 + s], jnp.int32)))
+    mean_contrib = (acc / n) - x
+    want_contrib = base - x
+    err = np.abs(mean_contrib - want_contrib).mean() / \
+        max(np.abs(want_contrib).mean(), 1e-9)
+    assert err < 0.25, err
+
+
+@pytest.mark.skipif(not _TPU, reason="in-kernel PRNG is TPU-only")
+def test_prob_dropout_fwd_bwd_replay_tpu(rng):
+    """Directional finite difference through the FIXED-seed fused step: the
+    backward's regenerated masks (128-wide subtiles; bwd q-blocks are 128
+    while fwd blocks are whole-row) must match the forward's, or the
+    directional derivative disagrees grossly."""
+    args = _args(rng, r=1, l=128, c=32, a=32)
+    seed = jnp.asarray([4242], jnp.int32)
+    w = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
+
+    def f(x_):
+        return jnp.sum(w * AB.fused_attention_block(
+            x_, *args[1:], 2, 4, 1e-5, True, 10000.0, 0.3, seed))
+
+    x0 = args[0]
+    g = jax.grad(f)(x0)
+    d = jnp.asarray(rng.standard_normal(x0.shape).astype(np.float32))
+    eps = 3e-3
+    fd = (float(f(x0 + eps * d)) - float(f(x0 - eps * d))) / (2 * eps)
+    an = float(jnp.sum(g * d))
+    # bf16 MXU rounding + fp32 softmax recompute: a loose but decisive
+    # tolerance (a mis-replayed mask errs by O(1), not O(1e-2))
+    assert abs(fd - an) < 0.05 * max(abs(fd), abs(an), 1.0), (fd, an)

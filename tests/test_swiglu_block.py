@@ -115,7 +115,12 @@ def test_grad_parity_multi_tile(rng):
 
 def test_supports_step_admits_freq_training_shape():
     """Round-2 verdict item 4: the base-config freq path (seq 1025, emb 96,
-    inner 384, k 4) must take the fully fused step in TRAINING too."""
+    inner 384, k 4) must take the fully fused step in TRAINING too — in the
+    production bf16.  fp32 rows double the VMEM footprint past the scoped
+    limit at that shape (measured 17.76 MiB vs the 16 MiB limit), so the
+    dtype-aware gate must route fp32 freq-path training to the fallback."""
     assert B.supports_step(1025, 96, 384, 4, bwd=True)
     assert B.supports_step(259, 96, 384, 4, bwd=True)   # time path
     assert not B.supports_step(4096, 96, 1024, 8, bwd=True)  # beyond budget
+    assert not B.supports_step(1025, 96, 384, 4, bwd=True, itemsize=4)
+    assert B.supports_step(259, 96, 384, 4, bwd=True, itemsize=4)
