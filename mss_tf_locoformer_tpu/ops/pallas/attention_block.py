@@ -76,19 +76,29 @@ def _prob_keep(seed_ref, group: int, gi: int, lp: int, h: int, qt: int,
     return bits < jnp.int32(int((1.0 - rate) * (1 << 31)))
 
 
-def _drop_probs(p, seed_ref, group: int, gi: int, h: int, qb: int,
+def _prob_keeps(seed_ref, group: int, gi: int, lp: int, h: int, qb: int,
                 blk_q: int, rate: float):
-    """Apply the probability-dropout mask to the ``[Lp, BLK]`` numerator
+    """Keep-mask subtiles for one ``[Lp, BLK]`` block (list of [Lp, 128])."""
+    nq = blk_q // 128
+    return [_prob_keep(seed_ref, group, gi, lp, h, qb * nq + tq, rate)
+            for tq in range(nq)]
+
+
+def _apply_keeps(p, keeps, rate: float):
+    """Apply precomputed keep subtiles to the ``[Lp, BLK]`` numerator
     block (survivors scaled by 1/keep; the denominator stays the UNDROPPED
     softmax sum, matching torch's drop-after-normalize semantics)."""
-    lp = p.shape[0]
-    nq = blk_q // 128
     ikp = 1.0 / (1.0 - rate)
-    subs = []
-    for tq in range(nq):
-        keep = _prob_keep(seed_ref, group, gi, lp, h, qb * nq + tq, rate)
-        subs.append(jnp.where(keep, p[:, tq * 128:(tq + 1) * 128] * ikp, 0.0))
-    return subs[0] if nq == 1 else jnp.concatenate(subs, axis=1)
+    subs = [jnp.where(keep, p[:, tq * 128:(tq + 1) * 128] * ikp, 0.0)
+            for tq, keep in enumerate(keeps)]
+    return subs[0] if len(subs) == 1 else jnp.concatenate(subs, axis=1)
+
+
+def _drop_probs(p, seed_ref, group: int, gi: int, h: int, qb: int,
+                blk_q: int, rate: float):
+    lp = p.shape[0]
+    return _apply_keeps(
+        p, _prob_keeps(seed_ref, group, gi, lp, h, qb, blk_q, rate), rate)
 
 
 def _dims(emb_dim: int, attention_dim: int, n_heads: int):
@@ -405,11 +415,12 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                 p = _softmax_num(s, shift)
                 p = p / jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
                 if drop_rate > 0.0:
-                    # replay the forward's probability mask: Pd feeds the o
-                    # recompute and dv; the P cotangent is the same mask
-                    # applied to V^T dO (drop-after-normalize semantics)
-                    pd = _drop_probs(p, seed_ref, group, gi, h, qb, blk_q,
-                                     drop_rate)
+                    # replay the forward's probability mask ONCE: Pd feeds
+                    # the o recompute and dv; the P cotangent gets the same
+                    # mask applied to V^T dO (drop-after-normalize)
+                    keeps = _prob_keeps(seed_ref, group, gi, lp, h, qb,
+                                        blk_q, drop_rate)
+                    pd = _apply_keeps(p, keeps, drop_rate)
                 else:
                     pd = p
                 pd_c = pd.astype(dt)
@@ -420,8 +431,7 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                     v_t, do_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # [Lp, BLK]
                 if drop_rate > 0.0:
-                    dp_ = _drop_probs(dp_, seed_ref, group, gi, h, qb, blk_q,
-                                      drop_rate)
+                    dp_ = _apply_keeps(dp_, keeps, drop_rate)
                 ds = p * (dp_ - jnp.sum(p * dp_, axis=0, keepdims=True))
                 ds_c = ds.astype(dt)
                 dq_blocks.append(jax.lax.dot_general(

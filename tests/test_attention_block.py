@@ -200,24 +200,42 @@ def test_prob_dropout_statistics_tpu(rng):
 
 @pytest.mark.skipif(not _TPU, reason="in-kernel PRNG is TPU-only")
 def test_prob_dropout_fwd_bwd_replay_tpu(rng):
-    """Directional finite difference through the FIXED-seed fused step: the
-    backward's regenerated masks (128-wide subtiles; bwd q-blocks are 128
-    while fwd blocks are whole-row) must match the forward's, or the
-    directional derivative disagrees grossly."""
-    args = _args(rng, r=1, l=128, c=32, a=32)
+    """Exact-linearity check of the FIXED-seed mask replay: with masks and
+    q/k fixed, the step output is exactly LINEAR in W_v and W_o (the
+    probability masks depend only on the seed and the softmax only on q/k),
+    so a large-delta secant must equal the analytic directional derivative
+    up to bf16 MXU rounding (~1%).  A mis-replayed mask (the backward's
+    128-wide q-blocks regenerating different subtiles than the forward's
+    whole-row blocks — here L=384 so one fwd block spans three bwd blocks)
+    errs by O(30%), not O(1%).  A plain finite difference CANNOT test this
+    on hardware: fp32 `lax.dot` runs as single-pass bf16 on the MXU, and
+    the ~0.5% evaluation noise swamps an eps-scaled difference quotient.
+    """
+    l, c, a = 384, 32, 32
+    args = _args(rng, r=1, l=l, c=c, a=a)
     seed = jnp.asarray([4242], jnp.int32)
     w = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
+    x, gamma, w_qkv, w_out = args
 
-    def f(x_):
+    def f(w_qkv_, w_out_):
         return jnp.sum(w * AB.fused_attention_block(
-            x_, *args[1:], 2, 4, 1e-5, True, 10000.0, 0.3, seed))
+            x, gamma, w_qkv_, w_out_, 2, 4, 1e-5, True, 10000.0, 0.3, seed))
 
-    x0 = args[0]
-    g = jax.grad(f)(x0)
-    d = jnp.asarray(rng.standard_normal(x0.shape).astype(np.float32))
-    eps = 3e-3
-    fd = (float(f(x0 + eps * d)) - float(f(x0 - eps * d))) / (2 * eps)
-    an = float(jnp.sum(g * d))
-    # bf16 MXU rounding + fp32 softmax recompute: a loose but decisive
-    # tolerance (a mis-replayed mask errs by O(1), not O(1e-2))
-    assert abs(fd - an) < 0.05 * max(abs(fd), abs(an), 1.0), (fd, an)
+    gq, go = jax.grad(f, argnums=(0, 1))(w_qkv, w_out)
+
+    # W_o direction: exercises the post-projection mask replay (dzd) and
+    # the backward's o recompute through the probability masks (dwo)
+    d_o = jnp.asarray(0.3 * rng.standard_normal(w_out.shape)
+                      .astype(np.float32))
+    sec = float(f(w_qkv, w_out + d_o)) - float(f(w_qkv, w_out))
+    an = float(jnp.sum(go * d_o))
+    assert abs(sec - an) < 0.05 * max(abs(sec), abs(an), 1.0), (sec, an)
+
+    # W_v direction: exercises the probability-mask replay in dv (V enters
+    # the output linearly through the masked, normalized probabilities)
+    d_v = np.zeros((3 * a, c), np.float32)
+    d_v[2 * a:] = 0.3 * rng.standard_normal((a, c))
+    d_v = jnp.asarray(d_v)
+    sec = float(f(w_qkv + d_v, w_out)) - float(f(w_qkv, w_out))
+    an = float(jnp.sum(gq * d_v))
+    assert abs(sec - an) < 0.05 * max(abs(sec), abs(an), 1.0), (sec, an)
