@@ -29,7 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .swiglu_ffn import (LANE, SUBLANE, _VMEM_TARGET, _round_up, supports)
+from .swiglu_ffn import (LANE, SUBLANE, _VMEM_TARGET, _panels, _round_up,
+                         supports)
 
 __all__ = ["fused_norm_ffn_residual", "supports"]
 
@@ -38,6 +39,17 @@ IT = 128   # inner-channel tile width (backward tiles the wide [L, inner]
 #            intermediates over it; the dropout mask is generated per tile
 #            in BOTH directions so the replay is partition-independent)
 _BWD_VMEM_TARGET = 13 * 1024 * 1024  # scoped limit is 16 MiB; est runs low
+# bf16 admission ceiling for the backward ESTIMATE, calibrated on v5e: the
+# base-config freq path (lp 1056 / ip 384 / k 4, estimate 17.2 MiB) COMPILES
+# and runs at group 1 — the estimate over-counts buffers Mosaic reuses.
+# fp32 keeps the conservative 13 MiB target (the freq-path fp32 backward
+# was measured to exceed the real scoped limit in round 2 AND with the
+# round-3 tap-concatenated kernel).
+_BWD_VMEM_BF16_CEIL = int(17.4 * 1024 * 1024)
+# fwd-step admission ceiling: the base freq forward (estimate ~11.2 MiB
+# incl. the tap-concatenated buffers) compiles and runs; calibrated with
+# ~1 MiB headroom over that point.
+_FWD_STEP_TARGET = int(12.5 * 1024 * 1024)
 
 
 _TILE_SEED_STRIDE = 0x9E3779B9  # golden-ratio mix folds the tile index into
@@ -69,16 +81,29 @@ def _inner_keep(seed_ref, group: int, gi: int, shape, rate: float):
     return tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=1)
 
 
+def _fwd_fixed_bytes(lp: int, cp: int, ip: int, k: int,
+                     itemsize: int = 2) -> int:
+    """Group-independent live-byte estimate of the forward step kernel:
+    the yvg/gate intermediates, the tap-concatenated input and deconv
+    product, and the weight panels."""
+    return (lp * 2 * ip * 4               # yvg (fp32)
+            + lp * ip * (4 + itemsize)    # gate (fp32 + cast)
+            + lp * k * cp * (itemsize + 4)  # xs_cat + zc
+            + 3 * k * cp * ip * itemsize)   # panels
+
+
 def _bwd_fixed_bytes(lp: int, cp: int, ip: int, k: int,
                      itemsize: int = 2) -> int:
-    """Group-independent live bytes of the IT-tiled backward kernel.  The
-    wide intermediates are [lp, IT] per tile (bf16 rows: ~26 B/elem across
-    the fp32 values + bf16 casts; fp32 rows measured 45 B/elem — the
-    compiler found 17.76 MiB total at lp 1056 / ip 384 / k 4 / group 1
-    fp32, which this calibration reproduces); full-length buffers are all
-    [lp, cp]."""
+    """Group-independent live-byte ESTIMATE of the IT-tiled backward
+    kernel (the wide intermediates are [lp, IT] per tile; full-length
+    buffers are [lp, cp]-class plus the tap-concatenated [lp, k*cp]
+    trio).  The estimate deliberately over-counts — Mosaic's scoped
+    accounting reuses dead buffers — so the admission thresholds in
+    :func:`supports_step` are CALIBRATED against compiled shapes rather
+    than derived (see the constants' comments)."""
     inter = (26 if itemsize == 2 else 45) * lp * IT
     inter += 7 * lp * cp * 4                # x32/xn(+cast)/dz/dxn/t_grp/rolls
+    inter += lp * k * cp * (2 * itemsize + 4)  # xs_cat + dzr_cat + dxc
     w_bytes = 3 * k * cp * ip * itemsize + 3 * k * cp * ip * 4  # panels+accum
     return inter + w_bytes
 
@@ -98,11 +123,11 @@ def supports_step(s2: int, c: int, inner: int, k: int,
     ip = _round_up(inner, LANE)
     if bwd:
         io_row = 2 * 3 * lp * cp * itemsize + 450 * 1024  # + per-row spills
-        return (_bwd_fixed_bytes(lp, cp, ip, k, itemsize) + io_row
-                < _BWD_VMEM_TARGET)
+        ceil = _BWD_VMEM_BF16_CEIL if itemsize == 2 else _BWD_VMEM_TARGET
+        return _bwd_fixed_bytes(lp, cp, ip, k, itemsize) + io_row < ceil
     io_row = 2 * 2 * lp * cp * itemsize
-    fwd_fixed = 5 * lp * ip * 4 + 3 * k * cp * ip * itemsize
-    return fwd_fixed + io_row < _VMEM_TARGET
+    fwd_fixed = _fwd_fixed_bytes(lp, cp, ip, k, itemsize)
+    return fwd_fixed + io_row < _FWD_STEP_TARGET
 
 
 def _pick_group(lp: int, cp: int, ip: int, k: int, bwd: bool,
@@ -124,8 +149,8 @@ def _pick_group(lp: int, cp: int, ip: int, k: int, bwd: bool,
         budget = (_BWD_VMEM_TARGET
                   - _bwd_fixed_bytes(lp, cp, ip, k, itemsize) - extra)
     else:
-        budget = (_VMEM_TARGET - 5 * lp * ip * 4
-                  - 3 * k * cp * ip * itemsize - extra)
+        budget = (_FWD_STEP_TARGET - _fwd_fixed_bytes(lp, cp, ip, k, itemsize)
+                  - extra)
     g = max(1, budget // io_row)
     return int(min(g, 32))
 
@@ -140,11 +165,30 @@ def _norm_fwd(x32, bd_ref, gamma_ref, dpg: int, eps: float):
     return x32 * inv * gamma_ref[...], inv, rms
 
 
-def _blk_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref, bv_ref,
-                bg_ref, db_ref, seed_ref, o_ref, *, k: int, s2: int,
+def _xs_cat_down(xn, k: int, dt):
+    """Tap-concatenated normed input ``[Lp, k*Cp]``: lane block j holds the
+    DOWN-rolled ``roll(xn, diff_ks - j)`` so the k shifted conv matmuls run
+    as ONE k*Cp-deep MXU contraction (tap accumulation inside the MXU
+    instead of k VPU adds over wide fp32 intermediates)."""
+    diff_ks = k - 1
+    subs = [pltpu.roll(xn, diff_ks - j, 0) if j != diff_ks else xn
+            for j in range(k)]
+    return jnp.concatenate(subs, axis=1).astype(dt)
+
+
+def _dz_cat_down(dz, k: int, dt):
+    """Tap-concatenated output cotangent ``[Lp, k*Cp]``: lane block j holds
+    ``roll(dz, +j)`` (the deconv adjoint's shift)."""
+    subs = [pltpu.roll(dz, j, 0) if j else dz for j in range(k)]
+    return jnp.concatenate(subs, axis=1).astype(dt)
+
+
+def _blk_kernel(x_ref, gamma_ref, bd_ref, wvg_ref, wdc_ref, bvg_ref,
+                db_ref, seed_ref, o_ref, *, k: int, s2: int, ip: int,
                 group: int, dpg: int, eps: float, drop_rate: float):
     lp = x_ref.shape[1]
-    dt = wv_ref.dtype
+    dt = wvg_ref.dtype
+    cp = x_ref.shape[-1]
     diff_ks = k - 1
     l1 = s2 + diff_ks
     for gi in range(group):
@@ -153,15 +197,10 @@ def _blk_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref, bv_ref,
         x32 = jnp.where(row_c < s2, x32, 0.0)
         xn, _, _ = _norm_fwd(x32, bd_ref, gamma_ref, dpg, eps)
 
-        yv = bv_ref[...].astype(jnp.float32)
-        yg = bg_ref[...].astype(jnp.float32)
-        for j in range(k):
-            sh = diff_ks - j                          # down-roll
-            xs = pltpu.roll(xn, sh, 0) if sh else xn
-            yv = yv + jax.lax.dot(xs.astype(dt), wv_ref[j],
-                                  preferred_element_type=jnp.float32)
-            yg = yg + jax.lax.dot(xs.astype(dt), wg_ref[j],
-                                  preferred_element_type=jnp.float32)
+        yvg = bvg_ref[...].astype(jnp.float32) + jax.lax.dot(
+            _xs_cat_down(xn, k, dt), wvg_ref[...],
+            preferred_element_type=jnp.float32)       # [Lp, 2*Ip]
+        yv, yg = yvg[:, :ip], yvg[:, ip:]
         gate = yv * jax.nn.sigmoid(yg) * yg
         row_i = jax.lax.broadcasted_iota(jnp.int32, gate.shape, 0)
         gate = jnp.where(row_i < l1, gate, 0.0)
@@ -170,11 +209,15 @@ def _blk_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref, bv_ref,
             gate = jnp.where(keep, gate * (1.0 / (1.0 - drop_rate)), 0.0)
         gate = gate.astype(dt)
 
+        # all k deconv taps in one matmul; up-rolls (crop folded in) on the
+        # narrow [Lp, Cp] lane blocks of the product
+        zc = jax.lax.dot(gate, wdc_ref[...],
+                         preferred_element_type=jnp.float32)  # [Lp, k*Cp]
         z = None
         for j in range(k):
-            t = jax.lax.dot(gate, wd_ref[j], preferred_element_type=jnp.float32)
+            t = zc[:, j * cp:(j + 1) * cp]
             if j:
-                t = pltpu.roll(t, lp - j, 0)          # up-roll (crop folded in)
+                t = pltpu.roll(t, lp - j, 0)
             z = t if z is None else z + t
         z = z + db_ref[...].astype(jnp.float32)
         if drop_rate > 0.0:  # outer (post-crop) dropout
@@ -188,25 +231,13 @@ def _blk_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref, bv_ref,
         o_ref[gi] = (x32 + z).astype(o_ref.dtype)
 
 
-def _panels(conv_w, conv_b, deconv_w, deconv_b, c, inner, k, cp, ip, dt):
-    f32 = jnp.float32
-
-    def conv_panel(half):
-        w = conv_w[half * inner:(half + 1) * inner]
-        p = jnp.zeros((k, cp, ip), f32)
-        p = p.at[:, :c, :inner].set(jnp.transpose(w, (2, 1, 0)).astype(f32))
-        return p.astype(dt)
-
-    wv, wg = conv_panel(0), conv_panel(1)
-    bv = jnp.zeros((1, ip), f32).at[0, :inner].set(
-        conv_b[:inner].astype(f32)).astype(dt)
-    bg = jnp.zeros((1, ip), f32).at[0, :inner].set(
-        conv_b[inner:].astype(f32)).astype(dt)
-    wd = jnp.zeros((k, ip, cp), f32)
-    wd = wd.at[:, :inner, :c].set(
-        jnp.transpose(deconv_w, (2, 0, 1))[::-1].astype(f32)).astype(dt)
-    db = jnp.zeros((1, cp), f32).at[0, :c].set(deconv_b.astype(f32))
-    return wv, wg, wd, bv, bg, db
+def _blk_panels(conv_w, conv_b, deconv_w, deconv_b, c, inner, k, cp, ip, dt):
+    """Tap-concatenated panels (shared layout with ``swiglu_ffn._panels``)
+    plus the deconv bias row."""
+    wvg, bvg, wdc = _panels(conv_w, conv_b, deconv_w, inner, c, cp, ip, k, dt)
+    db = jnp.zeros((1, cp), jnp.float32).at[0, :c].set(
+        deconv_b.astype(jnp.float32))
+    return wvg, bvg, wdc, db
 
 
 def _blockdiag(c, cp, num_groups):
@@ -245,8 +276,8 @@ def _blk_forward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
     gp = jnp.zeros((1, cp), jnp.float32).at[0, :c].set(
         gamma.astype(jnp.float32))
     bd = _blockdiag(c, cp, num_groups)
-    wv, wg, wd, bv, bg, db = _panels(conv_w, conv_b, deconv_w, deconv_b,
-                                     c, inner, k, cp, ip, x.dtype)
+    wvg, bvg, wdc, db = _blk_panels(conv_w, conv_b, deconv_w, deconv_b,
+                                    c, inner, k, cp, ip, x.dtype)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -256,39 +287,46 @@ def _blk_forward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_blk_kernel, k=k, s2=s2, group=group,
+        functools.partial(_blk_kernel, k=k, s2=s2, ip=ip, group=group,
                           dpg=c // num_groups, eps=float(eps),
                           drop_rate=float(drop_rate)),
         grid=(rp // group,),
         in_specs=[row(), const((1, cp)), const((cp, cp)),
-                  const((k, cp, ip)), const((k, cp, ip)), const((k, ip, cp)),
-                  const((1, ip)), const((1, ip)), const((1, cp)),
+                  const((k * cp, 2 * ip)), const((ip, k * cp)),
+                  const((1, 2 * ip)), const((1, cp)),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=row(),
         out_shape=jax.ShapeDtypeStruct((rp, lp, cp), x.dtype),
-    )(xp, gp, bd, wv, wg, wd, bv, bg, db, seed)
+    )(xp, gp, bd, wvg, wdc, bvg, db, seed)
     return out[:r, :s2, :c]
 
 
-def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
+def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wvg_ref, wdc_ref,
                     bv_ref, bg_ref, seed_ref, g_ref,
-                    dx_ref, dgamma_ref, dwv_ref, dwg_ref, dwd_ref,
-                    dbv_ref, dbg_ref, ddb_ref, *, k: int, s2: int,
+                    dx_ref, dgamma_ref, dwvg_ref, dwdc_ref,
+                    dbv_ref, dbg_ref, ddb_ref, *, k: int, s2: int, ip: int,
                     group: int, dpg: int, eps: float, drop_rate: float):
     """IT-tiled backward: the wide ``[Lp, inner]`` intermediates (the VMEM
     hog that gated freq-path training shapes out in round 2) are processed
     in IT-wide channel tiles.  No halos: the SwiGLU gate couples channels
     only pointwise, so every tile's recompute/adjoint is self-contained;
-    only the narrow ``[Lp, Cp]`` buffers (x, dz, dxn) stay full-length."""
+    only the narrow ``[Lp, Cp]``-class buffers (x, dz, dxn and the
+    tap-concatenated ``[Lp, k*Cp]`` inputs) stay full-length.  All per-tap
+    matmuls run tap-CONCATENATED: the rolled copies of xn and dz are built
+    ONCE per row (not per tile per tap), conv/deconv taps contract in one
+    k*Cp-deep MXU pass, and the conv-adjoint blocks are up-rolled into the
+    ``[Lp, Cp]`` dxn accumulator per tile (the transient ``[Lp, k*Cp]``
+    product is tile-local — a persistent accumulator of that width pushed
+    the freq training shape 242 KiB past the scoped-VMEM limit)."""
     lp = x_ref.shape[1]
-    ipp = wv_ref.shape[2]
-    dt = wv_ref.dtype
+    dt = wvg_ref.dtype
+    cp = x_ref.shape[-1]
     diff_ks = k - 1
     l1 = s2 + diff_ks
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        for ref in (dgamma_ref, dwv_ref, dwg_ref, dwd_ref, dbv_ref,
+        for ref in (dgamma_ref, dwvg_ref, dwdc_ref, dbv_ref,
                     dbg_ref, ddb_ref):
             ref[...] = jnp.zeros_like(ref)
 
@@ -310,34 +348,27 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
             dz = jnp.where(keep2, dz * (1.0 / (1.0 - drop_rate)), 0.0)
         ddb_ref[...] += jnp.sum(dz, axis=0, keepdims=True)
 
+        xs = _xs_cat_down(xn, k, dt)                    # [Lp, k*Cp]
+        dzr = _dz_cat_down(dz, k, dt)                   # [Lp, k*Cp]
+
         live_h = (jax.lax.broadcasted_iota(jnp.int32, (lp, IT), 0) < l1)
-        dxn = jnp.zeros((lp, x32.shape[1]), jnp.float32)
-        for t in range(ipp // IT):
-            sl = slice(t * IT, (t + 1) * IT)
-            # recompute conv + gate for this channel tile (rolls recomputed
-            # rather than stashed per tap — k live [Lp, Cp] copies cost
-            # ~2 MiB of scoped VMEM, measured in round 2).  Biases arrive
+        dxn = jnp.zeros((lp, cp), jnp.float32)
+        for t in range(ip // IT):
+            vsl = slice(t * IT, (t + 1) * IT)
+            gsl = slice(ip + t * IT, ip + (t + 1) * IT)
+            # recompute conv + gate for this channel tile.  Biases arrive
             # TILED [nt, 1, IT]: a [1, IT] slice of a [1, ip] row at lane
             # offset t*IT cannot legally broadcast over sublanes (Mosaic
             # "Invalid input layout" — broadcasts need lane offset 0)
-            yv = bv_ref[t].astype(jnp.float32)
-            yg = bg_ref[t].astype(jnp.float32)
-            for j in range(k):
-                sh = diff_ks - j
-                xs = (pltpu.roll(xn, sh, 0) if sh else xn).astype(dt)
-                yv = yv + jax.lax.dot(xs, wv_ref[j, :, sl],
-                                      preferred_element_type=jnp.float32)
-                yg = yg + jax.lax.dot(xs, wg_ref[j, :, sl],
-                                      preferred_element_type=jnp.float32)
+            yv = bv_ref[t].astype(jnp.float32) + jax.lax.dot(
+                xs, wvg_ref[:, vsl], preferred_element_type=jnp.float32)
+            yg = bg_ref[t].astype(jnp.float32) + jax.lax.dot(
+                xs, wvg_ref[:, gsl], preferred_element_type=jnp.float32)
 
             # deconv adjoint for this tile: dh = sum_j roll(dz, +j) @ wd_j^T
-            dh = None
-            for j in range(k):
-                dzr = (pltpu.roll(dz, j, 0) if j else dz).astype(dt)
-                tt = jax.lax.dot_general(
-                    dzr, wd_ref[j, sl, :], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dh = tt if dh is None else dh + tt
+            dh = jax.lax.dot_general(
+                dzr, wdc_ref[vsl, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [Lp, IT]
             dh = jnp.where(live_h, dh, 0.0)
 
             sig = jax.nn.sigmoid(yg)
@@ -356,33 +387,33 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wv_ref, wg_ref, wd_ref,
             dyv_c = dyv.astype(dt)
             dyg_c = dyg.astype(dt)
 
-            # conv adjoint: dxn += sum_j roll(dyv Wv_j^T + dyg Wg_j^T, up)
+            # conv adjoint: one matmul over all taps, then narrow up-rolls
+            # into dxn per tile (a persistent [Lp, k*Cp] fp32 accumulator
+            # measured 242 KiB past the 16 MiB scoped limit at the freq
+            # training shape — the [Lp, Cp] accumulator keeps the margin)
+            dxc = jax.lax.dot_general(
+                dyv_c, wvg_ref[:, vsl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dxc = dxc + jax.lax.dot_general(
+                dyg_c, wvg_ref[:, gsl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [Lp, k*Cp]
             for j in range(k):
-                tt = jax.lax.dot_general(
-                    dyv_c, wv_ref[j, :, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                tt = tt + jax.lax.dot_general(
-                    dyg_c, wg_ref[j, :, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                tt = dxc[:, j * cp:(j + 1) * cp]
                 sh = diff_ks - j
                 if sh:
                     tt = pltpu.roll(tt, lp - sh, 0)
                 dxn = dxn + tt
 
-            # weight/bias grads for this tile
-            for j in range(k):
-                sh = diff_ks - j
-                xs = (pltpu.roll(xn, sh, 0) if sh else xn).astype(dt)
-                dzr = (pltpu.roll(dz, j, 0) if j else dz).astype(dt)
-                dwv_ref[j, :, sl] += jax.lax.dot_general(
-                    xs, dyv_c, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dwg_ref[j, :, sl] += jax.lax.dot_general(
-                    xs, dyg_c, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dwd_ref[j, sl, :] += jax.lax.dot_general(
-                    gate, dzr, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            # weight/bias grads for this tile (all taps in one matmul each)
+            dwvg_ref[:, vsl] += jax.lax.dot_general(
+                xs, dyv_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwvg_ref[:, gsl] += jax.lax.dot_general(
+                xs, dyg_c, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwdc_ref[vsl, :] += jax.lax.dot_general(
+                gate, dzr, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             dbv_ref[t] += jnp.sum(dyv, axis=0, keepdims=True)
             dbg_ref[t] += jnp.sum(dyg, axis=0, keepdims=True)
 
@@ -419,11 +450,12 @@ def _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
     gmp = jnp.zeros((1, cp), jnp.float32).at[0, :c].set(
         gamma.astype(jnp.float32))
     bd = _blockdiag(c, cp, num_groups)
-    wv, wg, wd, bv, bg, _ = _panels(conv_w, conv_b, deconv_w, deconv_b,
-                                    c, inner, k, cp, ip, x.dtype)
+    wvg, bvg, wdc, _ = _blk_panels(conv_w, conv_b, deconv_w, deconv_b,
+                                   c, inner, k, cp, ip, x.dtype)
     nt = ip // IT
-    bv_t = bv.reshape(nt, 1, IT)  # lane-offset-0 tiles (see kernel comment)
-    bg_t = bg.reshape(nt, 1, IT)
+    # lane-offset-0 bias tiles (see kernel comment)
+    bv_t = bvg[:, :ip].reshape(nt, 1, IT)
+    bg_t = bvg[:, ip:].reshape(nt, 1, IT)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -434,38 +466,40 @@ def _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_blk_bwd_kernel, k=k, s2=s2, group=group,
+        functools.partial(_blk_bwd_kernel, k=k, s2=s2, ip=ip, group=group,
                           dpg=c // num_groups, eps=float(eps),
                           drop_rate=float(drop_rate)),
         grid=(rp // group,),
         in_specs=[row(), const((1, cp)), const((cp, cp)),
-                  const((k, cp, ip)), const((k, cp, ip)), const((k, ip, cp)),
+                  const((k * cp, 2 * ip)), const((ip, k * cp)),
                   const((nt, 1, IT)), const((nt, 1, IT)),
                   pl.BlockSpec(memory_space=pltpu.SMEM), row()],
-        out_specs=(row(), const((1, cp)), const((k, cp, ip)),
-                   const((k, cp, ip)), const((k, ip, cp)),
+        out_specs=(row(), const((1, cp)), const((k * cp, 2 * ip)),
+                   const((ip, k * cp)),
                    const((nt, 1, IT)), const((nt, 1, IT)), const((1, cp))),
         out_shape=(
             jax.ShapeDtypeStruct((rp, lp, cp), x.dtype),
             jax.ShapeDtypeStruct((1, cp), f32),
-            jax.ShapeDtypeStruct((k, cp, ip), f32),
-            jax.ShapeDtypeStruct((k, cp, ip), f32),
-            jax.ShapeDtypeStruct((k, ip, cp), f32),
+            jax.ShapeDtypeStruct((k * cp, 2 * ip), f32),
+            jax.ShapeDtypeStruct((ip, k * cp), f32),
             jax.ShapeDtypeStruct((nt, 1, IT), f32),
             jax.ShapeDtypeStruct((nt, 1, IT), f32),
             jax.ShapeDtypeStruct((1, cp), f32),
         ),
-    )(xp, gmp, bd, wv, wg, wd, bv_t, bg_t, seed, gpad)
-    dx, dgm, dwv, dwg, dwd, dbv, dbg, ddb = outs
+    )(xp, gmp, bd, wvg, wdc, bv_t, bg_t, seed, gpad)
+    dx, dgm, dwvg, dwdc, dbv, dbg, ddb = outs
     dbv = dbv.reshape(1, ip)
     dbg = dbg.reshape(1, ip)
 
     dx = dx[:r, :s2, :c].astype(x.dtype)
     dgamma = dgm[0, :c].astype(gamma.dtype)
+    # invert the tap-concatenated panel layouts back to torch weight layouts
+    dwvg = dwvg.reshape(k, cp, 2 * ip)
     dconv_w = jnp.concatenate([
-        jnp.transpose(dwv[:, :c, :inner], (2, 1, 0)),
-        jnp.transpose(dwg[:, :c, :inner], (2, 1, 0)),
+        jnp.transpose(dwvg[:, :c, :inner], (2, 1, 0)),
+        jnp.transpose(dwvg[:, :c, ip:ip + inner], (2, 1, 0)),
     ], axis=0).astype(conv_w.dtype)
+    dwd = jnp.moveaxis(dwdc.reshape(ip, k, cp), 1, 0)   # [k, Ip, Cp]
     ddeconv_w = jnp.transpose(dwd[::-1, :inner, :c],
                               (1, 2, 0)).astype(deconv_w.dtype)
     dconv_b = jnp.concatenate([dbv[0, :inner], dbg[0, :inner]]

@@ -17,6 +17,15 @@ def _ctx():
     return contextlib.nullcontext() if _TPU else pltpu.force_tpu_interpret_mode()
 
 
+# interpret mode computes fp32 exactly; the real chip runs fp32 lax.dot as
+# single-pass bf16 MXU matmuls in BOTH the kernel and the XLA oracle, and
+# the two formulations round differently (~0.5% of scale)
+_ATOL = 5e-3 if _TPU else 1e-4
+_RTOL = 2e-2 if _TPU else 2e-3
+_GATOL = 8e-3 if _TPU else 5e-4   # gradients chain more bf16 matmuls
+_GRTOL = 3e-2 if _TPU else 5e-3
+
+
 def _args(rng, r=3, s2=41, c=32, inner=64, k=4):
     x = rng.standard_normal((r, s2, c)).astype(np.float32)
     gamma = (1.0 + 0.1 * rng.standard_normal(c)).astype(np.float32)
@@ -36,7 +45,7 @@ def test_forward_parity(rng, c, inner, k, groups):
     with _ctx():
         got = np.asarray(B.fused_norm_ffn_residual(*args, k, groups, 1e-5))
     scale = max(np.abs(want).max(), 1.0)
-    np.testing.assert_allclose(got, want, atol=1e-4 * scale, rtol=2e-3)
+    np.testing.assert_allclose(got, want, atol=_ATOL * scale, rtol=_RTOL)
 
 
 def test_grad_parity(rng):
@@ -55,7 +64,8 @@ def test_grad_parity(rng):
     for name, a, b in zip(names, want, got):
         scale = max(np.abs(np.asarray(a)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   atol=5e-4 * scale, rtol=5e-3, err_msg=name)
+                                   atol=_GATOL * scale, rtol=_GRTOL,
+                                   err_msg=name)
 
 
 def test_module_level_parity(rng):
@@ -110,7 +120,8 @@ def test_grad_parity_multi_tile(rng):
     for name, a, b in zip(names, want, got):
         scale = max(np.abs(np.asarray(a)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   atol=5e-4 * scale, rtol=5e-3, err_msg=name)
+                                   atol=_GATOL * scale, rtol=_GRTOL,
+                                   err_msg=name)
 
 
 def test_supports_step_admits_freq_training_shape():

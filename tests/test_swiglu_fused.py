@@ -1,5 +1,7 @@
 """Fused Pallas SwiGLU Conv-Deconv FFN vs the unfused jnp path."""
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +11,26 @@ from jax.experimental.pallas import tpu as pltpu
 from mss_tf_locoformer_tpu.nn.ffn import SwiGLUConvDeconv1d
 from mss_tf_locoformer_tpu.ops.pallas import swiglu_ffn
 
+_TPU = jax.default_backend() == "tpu"
+
+
+def _kernel_ctx():
+    """Real kernels on TPU; interpret mode elsewhere."""
+    return contextlib.nullcontext() if _TPU else pltpu.force_tpu_interpret_mode()
+
+
+# interpret mode computes fp32 exactly; the real chip runs fp32 lax.dot as
+# single-pass bf16 MXU matmuls in BOTH the kernel and the XLA oracle, and
+# the two formulations round differently (~0.5% of scale)
+_ATOL = 5e-3 if _TPU else 3e-5
+_RTOL = 2e-2 if _TPU else 1e-4
+_GATOL = 8e-3 if _TPU else 2e-4   # gradients chain more bf16 matmuls
+_GRTOL = 3e-2 if _TPU else 2e-3
+
+_tpu_only = pytest.mark.skipif(
+    not _TPU, reason="pltpu.prng_random_bits yields zeros in interpret mode "
+    "(CPU); the in-kernel dropout tests need a real TPU")
+
 
 @pytest.mark.parametrize("dim,inner,k", [(96, 384, 4), (48, 192, 4), (96, 192, 8)])
 def test_fused_matches_unfused(rng, dim, inner, k):
@@ -17,10 +39,10 @@ def test_fused_matches_unfused(rng, dim, inner, k):
     params = ref_mod.init(jax.random.PRNGKey(0), x)
     want = np.asarray(ref_mod.apply(params, x))
     fused_mod = SwiGLUConvDeconv1d(dim, inner, k, 1, use_fused=True)
-    with pltpu.force_tpu_interpret_mode():
+    with _kernel_ctx():
         got = np.asarray(fused_mod.apply(params, x))
-    scale = np.abs(want).max()
-    np.testing.assert_allclose(got, want, atol=3e-5 * max(scale, 1), rtol=1e-4)
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=_ATOL * scale, rtol=_RTOL)
 
 
 def test_fused_grad_matches(rng):
@@ -30,13 +52,14 @@ def test_fused_grad_matches(rng):
     fused_mod = SwiGLUConvDeconv1d(32, 64, 4, 1, use_fused=True)
 
     g_ref = jax.grad(lambda p: jnp.sum(ref_mod.apply(p, x) ** 2))(params)
-    with pltpu.force_tpu_interpret_mode():
+    with _kernel_ctx():
         g_fus = jax.grad(lambda p: jnp.sum(fused_mod.apply(p, x) ** 2))(params)
     flat_r = jax.tree_util.tree_leaves(g_ref)
     flat_f = jax.tree_util.tree_leaves(g_fus)
     for a, b in zip(flat_r, flat_f):
+        scale = max(np.abs(np.asarray(a)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   atol=1e-3, rtol=1e-3)
+                                   atol=_GATOL * scale, rtol=_GRTOL)
 
 
 def test_fused_falls_back_on_stride(rng):
@@ -53,7 +76,7 @@ def test_fused_dropout_training_falls_back(rng):
     # active dropout forces the unfused path (fused has no dropout site)
     x = rng.standard_normal((1, 2, 24, 16)).astype(np.float32)
     mod = SwiGLUConvDeconv1d(16, 32, 4, 1, dropout=0.5, use_fused=True)
-    with pltpu.force_tpu_interpret_mode():
+    with _kernel_ctx():
         params = mod.init(jax.random.PRNGKey(0), x)  # init is deterministic
     # active dropout routes around the pallas kernel: no interpret ctx needed
     out = mod.apply(params, x, deterministic=False,
@@ -76,7 +99,7 @@ def test_pallas_backward_direct(rng, dim, inner, k):
     _, vjp = jax.vjp(lambda *a: swiglu_ffn._reference(*a, k),
                      x, conv_w, conv_b, deconv_w, deconv_b)
     want = vjp(jnp.asarray(g))
-    with pltpu.force_tpu_interpret_mode():
+    with _kernel_ctx():
         got = swiglu_ffn._backward_pallas(
             jnp.asarray(x), jnp.asarray(conv_w), jnp.asarray(conv_b),
             jnp.asarray(deconv_w), jnp.asarray(deconv_b), k, jnp.asarray(g))
@@ -84,20 +107,8 @@ def test_pallas_backward_direct(rng, dim, inner, k):
     for name, a, b in zip(names, want, got):
         scale = max(np.abs(np.asarray(a)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                   atol=2e-4 * scale, rtol=2e-3, err_msg=name)
-
-
-import contextlib
-
-_TPU = jax.default_backend() == "tpu"
-
-
-def _kernel_ctx():
-    """Real kernels on TPU; interpret mode elsewhere."""
-    return contextlib.nullcontext() if _TPU else pltpu.force_tpu_interpret_mode()
-_tpu_only = pytest.mark.skipif(
-    not _TPU, reason="pltpu.prng_random_bits yields zeros in interpret mode "
-    "(CPU); the in-kernel dropout tests need a real TPU")
+                                   atol=_GATOL * scale, rtol=_GRTOL,
+                                   err_msg=name)
 
 
 def _identity_deconv(dim, k):
