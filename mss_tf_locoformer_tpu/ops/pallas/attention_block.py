@@ -128,8 +128,11 @@ def _vmem_bytes(lp: int, cp: int, hp: int, blk_q: int, bwd: bool,
     doubles them vs the production bf16)."""
     rows = 2 * (3 if bwd else 2) * lp * cp * itemsize  # x(+g)/out, dbuffered
     n_inter = 10 if bwd else 2
+    # bwd: the fp32 o_all accumulation is gone (dwo reads the forward's
+    # STASHED head outputs — double-buffered dt rows); fwd keeps it
+    o_term = 2 * lp * hp * itemsize if bwd else lp * hp * 4
     inter = (n_inter * lp * cp * 4
-             + (6 if bwd else 3) * lp * hp * itemsize + lp * hp * 4)
+             + (6 if bwd else 3) * lp * hp * itemsize + o_term)
     scores = (4 if bwd else 2) * lp * blk_q * 4
     weights = 4 * hp * cp * itemsize + cp * cp * 4 + 2 * 32 * lp * 4
     if bwd:
@@ -153,13 +156,16 @@ def supports_block(emb_dim: int, attention_dim: int, n_heads: int,
 
 
 def _pick_group(lp: int, cp: int, hp: int, blk_q: int, bwd: bool,
-                extra: int = 0, itemsize: int = 2) -> int:
+                extra: int = 0, itemsize: int = 2,
+                extra_row: int = 0) -> int:
     """``extra`` = additional fixed live bytes the caller knows about (the
-    probability-dropout mask/Pd blocks, absent from ``_vmem_bytes``)."""
+    probability-dropout mask/Pd blocks, absent from ``_vmem_bytes``);
+    ``extra_row`` = additional per-row bytes (the double-buffered o-stash
+    rows in the training forward/backward)."""
     fixed = _vmem_bytes(lp, cp, hp, blk_q, bwd, itemsize) + extra
     per_row = 2 * (3 if bwd else 2) * lp * cp * itemsize + \
         ((10 if bwd else 2) * lp * cp * 4
-         + (6 if bwd else 3) * lp * hp * itemsize + lp * hp * 4)
+         + (6 if bwd else 3) * lp * hp * itemsize + lp * hp * 4) + extra_row
     target = _VMEM_TARGET if bwd else _VMEM_TARGET_FWD
     g = 1 + max(0, (target - fixed) // per_row)
     return int(min(g, 16))
@@ -176,9 +182,13 @@ def _norm_t(x32, bd_ref, gamma_ref, dpg: int, eps: float):
 
 
 def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-                 cos_ref, sin_ref, seed_ref, o_ref, *, n_heads: int, dp: int,
-                 dpg: int, eps: float, l_actual: int, blk_q: int,
-                 group: int, rope: bool, drop_rate: float):
+                 cos_ref, sin_ref, seed_ref, *out_refs, n_heads: int,
+                 dp: int, dpg: int, eps: float, l_actual: int, blk_q: int,
+                 group: int, rope: bool, drop_rate: float, stash: bool):
+    """``out_refs`` is ``(o_ref,)`` or ``(o_ref, ostash_ref)`` — training
+    stashes the packed head outputs ``[Hp, Lp]`` so the backward's dwo
+    needs no ``V @ Pd`` recompute (one of its six score-class matmuls)."""
+    o_ref = out_refs[0]
     lp = x_ref.shape[-1]
     masked = lp != l_actual
     dt = wq_ref.dtype
@@ -225,6 +235,8 @@ def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                            else jnp.concatenate(o_blocks, axis=1))
         o_all = (o_heads[0] if n_heads == 1
                  else jnp.concatenate(o_heads, axis=0)).astype(dt)  # [Hp, Lp]
+        if stash:
+            out_refs[1][gi] = o_all
 
         out = jax.lax.dot(wo_ref[...], o_all,
                           preferred_element_type=jnp.float32)  # [Cp, Lp]
@@ -309,9 +321,11 @@ def fused_attention_block(x, gamma, w_qkv, w_out, n_heads: int,
 
 
 def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                  rope, theta, drop_rate=0.0, seed=None):
+                  rope, theta, drop_rate=0.0, seed=None, return_o=False):
     _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
     lp = _round_up(x.shape[1], LANE)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    stash_row = 2 * hp * lp * itemsize if return_o else 0
     if drop_rate > 0.0:
         # probability dropout keeps a third [Lp, BLK]-class buffer (the
         # masked numerator) live: 2/3 budget bounds 3 buffers by the same
@@ -319,11 +333,11 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
         blk_q = _blk_q(lp, _FWD_BLK_BUDGET * 2 // 3)
         group = _pick_group(lp, cp, hp, blk_q, bwd=False,
                             extra=lp * blk_q * 4,
-                            itemsize=jnp.dtype(x.dtype).itemsize)
+                            itemsize=itemsize, extra_row=stash_row)
     else:
         blk_q = _blk_q(lp, _FWD_BLK_BUDGET)
         group = _pick_group(lp, cp, hp, blk_q, bwd=False,
-                            itemsize=jnp.dtype(x.dtype).itemsize)
+                            itemsize=itemsize, extra_row=stash_row)
     geo = _prep(x, gamma, w_qkv, w_out, n_heads, num_groups, rope, theta,
                 group)
     r, seq_len, c = geo["r"], geo["seq_len"], geo["c"]
@@ -331,28 +345,38 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
 
     row = lambda: pl.BlockSpec((group, cp, lp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
+    row_hp = lambda: pl.BlockSpec((group, hp, lp), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
+    out_specs = (row(), row_hp()) if return_o else row()
+    out_shape = ((jax.ShapeDtypeStruct((rp, cp, lp), dt),
+                  jax.ShapeDtypeStruct((rp, hp, lp), dt))
+                 if return_o else jax.ShapeDtypeStruct((rp, cp, lp), dt))
     out = pl.pallas_call(
         functools.partial(_attn_kernel, n_heads=n_heads, dp=geo["dp"],
                           dpg=c // num_groups, eps=float(eps),
                           l_actual=seq_len, blk_q=blk_q, group=group,
-                          rope=rope, drop_rate=float(drop_rate)),
+                          rope=rope, drop_rate=float(drop_rate),
+                          stash=return_o),
         grid=(rp // group,),
         in_specs=[row(), const((cp, 1)), const((cp, cp)),
                   const((hp, cp)), const((hp, cp)), const((hp, cp)),
                   const((cp, hp)), const((geo["dp"], lp)),
                   const((geo["dp"], lp)),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=row(),
-        out_shape=jax.ShapeDtypeStruct((rp, cp, lp), dt),
+        out_specs=out_specs,
+        out_shape=out_shape,
     )(geo["x_t"], geo["gp"], geo["bd"], geo["wq"], geo["wk"], geo["wv"],
       geo["wo"], geo["cos"], geo["sin"], _seed_arr(seed))
+    if return_o:
+        out, o_stash = out
+        return (jnp.swapaxes(out[:r, :c, :seq_len], -1, -2), o_stash[:r])
     return jnp.swapaxes(out[:r, :c, :seq_len], -1, -2)
 
 
 def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
-                     wo_ref, cos_ref, sin_ref, seed_ref, g_ref,
+                     wo_ref, cos_ref, sin_ref, seed_ref, g_ref, ostash_ref,
                      dx_ref, dgamma_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref,
                      *, n_heads: int, dp: int, dpg: int, eps: float,
                      l_actual: int, blk_q: int, group: int, rope: bool,
@@ -390,7 +414,7 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
             wo_ref[...], dzd_c, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-        o_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
+        dq_heads, dk_heads, dv_heads = [], [], []
         for h in range(n_heads):
             sl = slice(h * dp, (h + 1) * dp)
             q_t0, k_t0, v_t = q_all[sl], k_all[sl], v_all[sl]  # [dp, Lp]
@@ -398,7 +422,7 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
             do_h = do_all[sl].astype(dt)                       # [dp, Lp]
             dk_acc = jnp.zeros((dp, lp), jnp.float32)
             dv_acc = jnp.zeros((dp, lp), jnp.float32)
-            o_blocks, dq_blocks = [], []
+            dq_blocks = []
             for qb in range(lp // blk_q):
                 qsl = slice(qb * blk_q, (qb + 1) * blk_q)
                 q_t = _rope_t(q_t0[:, qsl], cos_ref[:, qsl], sin_ref[:, qsl],
@@ -424,9 +448,6 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                 else:
                     pd = p
                 pd_c = pd.astype(dt)
-                o_blocks.append(jax.lax.dot_general(
-                    v_t, pd_c, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))       # [dp, BLK]
                 dp_ = jax.lax.dot_general(
                     v_t, do_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # [Lp, BLK]
@@ -443,8 +464,6 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                 dv_acc += jax.lax.dot_general(
                     do_t, pd_c, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-            o_heads.append(o_blocks[0] if len(o_blocks) == 1
-                           else jnp.concatenate(o_blocks, axis=1))
             dq_rot = (dq_blocks[0] if len(dq_blocks) == 1
                       else jnp.concatenate(dq_blocks, axis=1))
             if rope:  # back-rotate cotangents: R is orthogonal, R^-1=R(-th)
@@ -458,13 +477,13 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
             return (blocks[0] if len(blocks) == 1
                     else jnp.concatenate(blocks, axis=0))
 
-        o_all = cat(o_heads).astype(dt)                        # [Hp, Lp]
         dq_all = cat(dq_heads).astype(dt)
         dk_all = cat(dk_heads).astype(dt)
         dv_all = cat(dv_heads).astype(dt)
 
+        # dwo from the forward's STASHED head outputs (no V @ Pd recompute)
         dwo_ref[...] += jax.lax.dot_general(
-            dzd_c, o_all, (((1,), (1,)), ((), ())),
+            dzd_c, ostash_ref[gi], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                # [Cp, Hp]
 
         # dxn = sum of wq^T dq + wk^T dk + wv^T dv (contract Hp)
@@ -501,20 +520,26 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
 
 
 def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                          rope, theta, drop_rate, seed, g):
+                          rope, theta, drop_rate, seed, g, o_stash):
     _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
     lp = _round_up(x.shape[1], LANE)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    stash_row = 2 * hp * lp * itemsize
     if drop_rate > 0.0:
-        # 128-wide q-blocks = exactly one mask subtile per block; the extra
-        # live blocks (keep/Pd/dPm) are [Lp, 128] each
-        blk_q = 128
+        # the probability masks decompose into ABSOLUTE 128-lane subtiles
+        # (see _prob_keep), so any 128-multiple q-block width replays the
+        # forward's masks; the width is bounded by 7 live [Lp, BLK] fp32
+        # buffers (4 score-class + keep/Pd/dPm) within the same ~4.1 MiB
+        # the old fixed-128 choice used at freq-path shapes — time-path
+        # shapes now take whole-row blocks instead of 3 softmax passes
+        blk_q = _blk_q(lp, 2 * (4224 * 1024) // 7)
         group = _pick_group(lp, cp, hp, blk_q, bwd=True,
-                            extra=3 * lp * 128 * 4,
-                            itemsize=jnp.dtype(x.dtype).itemsize)
+                            extra=3 * lp * blk_q * 4,
+                            itemsize=itemsize, extra_row=stash_row)
     else:
         blk_q = _blk_q(lp, 2 * 1024 * 1024)
         group = _pick_group(lp, cp, hp, blk_q, bwd=True,
-                            itemsize=jnp.dtype(x.dtype).itemsize)
+                            itemsize=itemsize, extra_row=stash_row)
     geo = _prep(x, gamma, w_qkv, w_out, n_heads, num_groups, rope, theta,
                 group)
     r, seq_len, c = geo["r"], geo["seq_len"], geo["c"]
@@ -523,10 +548,13 @@ def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
 
     g_t = jnp.pad(jnp.swapaxes(g.astype(dt), -1, -2),
                   ((0, rp - r), (0, cp - c), (0, lp - seq_len)))
+    o_t = jnp.pad(o_stash, ((0, rp - r), (0, 0), (0, 0)))  # [rp, hp, lp]
 
     f32 = jnp.float32
     row = lambda: pl.BlockSpec((group, cp, lp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
+    row_hp = lambda: pl.BlockSpec((group, hp, lp), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -538,7 +566,7 @@ def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
         in_specs=[row(), const((cp, 1)), const((cp, cp)),
                   const((hp, cp)), const((hp, cp)), const((hp, cp)),
                   const((cp, hp)), const((dp, lp)), const((dp, lp)),
-                  pl.BlockSpec(memory_space=pltpu.SMEM), row()],
+                  pl.BlockSpec(memory_space=pltpu.SMEM), row(), row_hp()],
         out_specs=(row(), const((cp, 1)), const((hp, cp)), const((hp, cp)),
                    const((hp, cp)), const((cp, hp))),
         out_shape=(
@@ -550,7 +578,7 @@ def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
             jax.ShapeDtypeStruct((cp, hp), f32),
         ),
     )(geo["x_t"], geo["gp"], geo["bd"], geo["wq"], geo["wk"], geo["wv"],
-      geo["wo"], geo["cos"], geo["sin"], _seed_arr(seed), g_t)
+      geo["wo"], geo["cos"], geo["sin"], _seed_arr(seed), g_t, o_t)
     dx_t, dgm, dwq, dwk, dwv, dwo = outs
 
     dx = jnp.swapaxes(dx_t[:r, :c, :seq_len], -1, -2).astype(x.dtype)
@@ -596,17 +624,18 @@ def reference_attention_block(x, gamma, w_qkv, w_out, n_heads, num_groups,
 
 def _attn_fwd(x, gamma, w_qkv, w_out, n_heads, num_groups, eps, rope, theta,
               drop_rate, seed=None):
-    out = _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                        rope, theta, drop_rate, seed)
-    return out, (x, gamma, w_qkv, w_out, seed)
+    out, o_stash = _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups,
+                                 eps, rope, theta, drop_rate, seed,
+                                 return_o=True)
+    return out, (x, gamma, w_qkv, w_out, seed, o_stash)
 
 
 def _attn_bwd(n_heads, num_groups, eps, rope, theta, drop_rate, res, g):
-    x, gamma, w_qkv, w_out, seed = res
+    x, gamma, w_qkv, w_out, seed, o_stash = res
     try:
         grads = _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads,
                                       num_groups, eps, rope, theta,
-                                      drop_rate, seed, g)
+                                      drop_rate, seed, g, o_stash)
     except Exception as e:
         if drop_rate > 0.0:
             raise  # the XLA fallback cannot replay the in-kernel mask

@@ -297,7 +297,10 @@ def _istft_fwd(spec, n_fft, hop_length, length):
 
 def _istft_bwd(n_fft, hop_length, length, shape, g):
     from .. import stft as S
-    dummy = jnp.zeros(shape, jnp.complex64)
+    # the axon remote backend cannot CREATE complex arrays directly
+    # (jnp.zeros(complex64) -> UNIMPLEMENTED); assemble from real zeros
+    zero = jnp.zeros(shape, jnp.float32)
+    dummy = jax.lax.complex(zero, zero)
     _, vjp = jax.vjp(lambda s: S.istft(s, n_fft, hop_length, length=length), dummy)
     return (vjp(g)[0],)
 

@@ -66,15 +66,17 @@ def test_grad_parity_pallas_backward(rng, c, a, h, l, rope):
     args = _args(rng, l=l, c=c, a=a)
     g = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
     with _ctx():
+        _, o_stash = AB._attn_forward(*args, h, 4, 1e-5, rope, 10000.0,
+                                      return_o=True)
         grads = AB._attn_backward_pallas(*args, h, 4, 1e-5, rope, 10000.0,
-                                         0.0, None, g)
+                                         0.0, None, g, o_stash)
     _, vjp_r = jax.vjp(
         lambda *a_: AB.reference_attention_block(*a_, h, 4, 1e-5, rope), *args)
     want = vjp_r(g)
     for name, gx, wx in zip(("dx", "dgamma", "dw_qkv", "dw_out"), grads, want):
         scale = max(np.abs(np.asarray(wx)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(wx),
-                                   atol=(5e-3 if _TPU else 5e-5) * scale,
+                                   atol=(8e-3 if _TPU else 5e-5) * scale,
                                    rtol=2e-2 if _TPU else 5e-4, err_msg=name)
 
 
@@ -92,7 +94,7 @@ def test_grad_runs_through_custom_vjp(rng):
     for name, gx, wx in zip(("dx", "dgamma", "dw_qkv", "dw_out"), grads, want):
         scale = max(np.abs(np.asarray(wx)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(gx), np.asarray(wx),
-                                   atol=(5e-3 if _TPU else 5e-5) * scale,
+                                   atol=(8e-3 if _TPU else 5e-5) * scale,
                                    rtol=2e-2 if _TPU else 5e-4, err_msg=name)
 
 

@@ -47,7 +47,11 @@ def test_stft_matches_jnp(rng, n_fft, hop):
         got = _fetch_complex(K.stft_pallas(jnp.asarray(audio), n_fft, hop))
     assert got.shape == want.shape
     scale = np.abs(want).max()
-    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=1e-4)
+    # real chip: the kernel's DFT runs as single-pass bf16 MXU matmuls
+    # (~2e-3 relative, -54 dB — the documented design point) while the jnp
+    # oracle uses an fp32 FFT; interpret mode computes both exactly
+    atol = (3e-3 if _TPU else 2e-4) * scale
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
 
 
 @pytest.mark.parametrize("n_fft,hop", [(2048, 512), (1024, 256)])
@@ -77,7 +81,8 @@ def test_stft_grad_matches_jnp(rng):
     g_ref = np.asarray(jax.grad(loss_ref)(jnp.asarray(audio)))
     with _ctx():
         g_pal = np.asarray(jax.grad(loss_pal)(jnp.asarray(audio)))
-    np.testing.assert_allclose(g_pal, g_ref, atol=1e-2, rtol=1e-3)
+    atol = (3e-3 * max(np.abs(g_ref).max(), 1.0)) if _TPU else 1e-2
+    np.testing.assert_allclose(g_pal, g_ref, atol=atol, rtol=1e-3)
 
 
 def test_istft_grad_matches_jnp(rng):
@@ -118,8 +123,10 @@ def test_model_with_fused_stft_matches(rng):
     with _ctx():
         got = fused_model.apply(params, mixture)
     for k in want:
-        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
-                                   atol=5e-4, rtol=1e-3)
+        w = np.asarray(want[k])
+        atol = (5e-3 * max(np.abs(w).max(), 1.0)) if _TPU else 5e-4
+        np.testing.assert_allclose(np.asarray(got[k]), w,
+                                   atol=atol, rtol=1e-3)
 
 
 # (the fully fused irDFT+OLA kernel and its interpret-mode parity tests were
