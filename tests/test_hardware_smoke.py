@@ -1,0 +1,135 @@
+"""Hardware (TPU) end-to-end smokes — `TESTS_ON_TPU=1` lane only.
+
+CPU already covers this logic (`test_trainer.py`, `test_separators.py`,
+`test_speech_train.py`); what these add is proof the full stacks run on the
+REAL chip with the fused Pallas kernels live: trainer fit -> checkpoint ->
+resume -> chunked-OLA separation for the MSS family, and forward + PIT
+training step for the speech/BS families.  Complex tensors are reduced
+on-device (complex D2H is unimplemented over remote-device tunnels).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+_TPU = jax.default_backend() == "tpu"
+pytestmark = pytest.mark.skipif(
+    not _TPU, reason="hardware smoke: real-chip lane (TESTS_ON_TPU=1)")
+
+SR = 8000
+STEMS = ("vocals", "drums", "bass", "other")
+
+
+def _musdb_tree(tmp_path, rng):
+    from mss_tf_locoformer_tpu.data import audio_io
+    for subset, tracks in (("train", 2), ("test", 1)):
+        for t in range(tracks):
+            d = tmp_path / "musdb" / subset / f"track{t}"
+            d.mkdir(parents=True)
+            n = SR * 2
+            stems = {s: (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+                     for s in STEMS}
+            for s, x in stems.items():
+                audio_io.write(str(d / f"{s}.wav"), x, SR, bits=16)
+            audio_io.write(str(d / "mixture.wav"), sum(stems.values()), SR,
+                           bits=16)
+    return tmp_path / "musdb"
+
+
+def test_trainer_fit_resume_separate_on_tpu(tmp_path, rng):
+    from mss_tf_locoformer_tpu.core.config import (Config, DatasetConfig,
+                                                   LossConfig, ModelConfig,
+                                                   OptimizerConfig,
+                                                   PathsConfig,
+                                                   TrainingConfig)
+    from mss_tf_locoformer_tpu.infer.separate import separate_audio
+    from mss_tf_locoformer_tpu.train.loop import Trainer
+
+    root = _musdb_tree(tmp_path, rng)
+    out = tmp_path / "exp"
+
+    def cfg(epochs):
+        return Config(
+            dataset=DatasetConfig(root_dir=str(root), sample_rate=SR,
+                                  segment_length=SR // 2, sources=STEMS),
+            model=ModelConfig(n_fft=256, hop_length=128, n_layers=1,
+                              emb_dim=32, num_groups=4, n_heads=2,
+                              attention_dim=32, ffn_type="swiglu_conv1d",
+                              ffn_hidden_dim=128, dropout=0.1),
+            loss=LossConfig(loss_type="si_sdr"),
+            training=TrainingConfig(batch_size=2, num_epochs=epochs,
+                                    num_workers=2, save_interval=1,
+                                    val_interval=1, log_interval=1,
+                                    use_amp=True, amp_dtype="bfloat16",
+                                    optimizer=OptimizerConfig(lr=1e-3)),
+            paths=PathsConfig(output_dir=str(out)),
+            seed=0,
+        )
+
+    trainer = Trainer(cfg(2), verbose=False)
+    state = trainer.fit()
+    assert int(state.step) > 0
+    assert trainer.ckpt.latest_epoch() == 1
+
+    trainer2 = Trainer(cfg(3), resume="latest", verbose=False)
+    state2 = trainer2.fit()
+    assert trainer2.start_epoch == 2
+    assert int(state2.step) > int(state.step)
+
+    mix = root / "test" / "track0" / "mixture.wav"
+    separate_audio(str(mix), str(tmp_path / "sep"), trainer2.model,
+                   state2.params, sample_rate=SR, chunk_seconds=1.0,
+                   overlap_seconds=0.25, batch_size=2)
+    wavs = sorted(p.name for p in (tmp_path / "sep").glob("*.wav"))
+    assert len(wavs) == 4, wavs
+
+
+def _cplx(rng, shape):
+    re = rng.standard_normal(shape).astype(np.float32)
+    im = rng.standard_normal(shape).astype(np.float32)
+    return jax.lax.complex(jnp.asarray(re), jnp.asarray(im))
+
+
+def test_speech_families_forward_and_pit_step_on_tpu(rng):
+    from mss_tf_locoformer_tpu.core.config import SpeechConfig
+    from mss_tf_locoformer_tpu.models.bslocoformer import BSLocoformerSeparator
+    from mss_tf_locoformer_tpu.models.tflocoformer import TFLocoformerSeparator
+    from mss_tf_locoformer_tpu.train.speech import make_speech_step
+    from mss_tf_locoformer_tpu.train.state import init_state, make_optimizer
+
+    spec = _cplx(rng, (2, 50, 65))
+    mod = TFLocoformerSeparator(num_spk=2, n_layers=2, emb_dim=32,
+                                num_groups=4, n_heads=2,
+                                flash_attention=True,
+                                ffn_type="swiglu_conv1d", ffn_hidden_dim=64)
+    params = mod.init(jax.random.PRNGKey(0), spec)
+    out = mod.apply(params, spec)
+    assert out.shape == (2, 2, 50, 65)
+    assert np.isfinite(float(jnp.sum(jnp.abs(out))))
+
+    spec2 = _cplx(rng, (1, 2, 40, 257))  # stereo, stft_size 512
+    bs = BSLocoformerSeparator(num_spk=2, n_layers=1, emb_dim=32,
+                               num_groups=4, n_heads=2, attention_dim=32,
+                               ffn_type="swiglu_conv1d", ffn_hidden_dim=64,
+                               sample_rate=44100, stft_size=512,
+                               stereo=True, masking=True)
+    bparams = bs.init(jax.random.PRNGKey(1), spec2)
+    bout = bs.apply(bparams, spec2)
+    assert bout.shape == (1, 2, 2, 40, 257)
+    assert np.isfinite(float(jnp.sum(jnp.abs(bout))))
+
+    # PIT SI-SNR training step (the speech trainer's jitted step) runs and
+    # reduces the loss on real data shapes
+    cfg = SpeechConfig()
+    tx = make_optimizer(cfg.training)
+    state = init_state(params, tx)
+    step, _ = make_speech_step(mod, cfg, tx)
+    mix = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    refs = jnp.asarray(0.3 * rng.standard_normal((2, 2, 4000))
+                       .astype(np.float32))
+    state, ld = step(state, mix, refs, 1e-4, jax.random.PRNGKey(3))
+    loss0 = float(ld["total_loss"])
+    state, ld = step(state, mix, refs, 1e-4, jax.random.PRNGKey(4))
+    assert np.isfinite(loss0) and np.isfinite(float(ld["total_loss"]))
+    assert float(ld["total_loss"]) < loss0
