@@ -140,6 +140,16 @@ def _vmem_bytes(lp: int, cp: int, hp: int, blk_q: int, bwd: bool,
     return rows + inter + scores + weights
 
 
+# bf16 admission ceilings CALIBRATED on v5e compiles (the byte estimates
+# over-count buffers Mosaic reuses): the MEDIUM-config freq path (emb 128 /
+# heads 8 / L 1025 — estimates 15.78 MiB fwd / 15.16 MiB bwd) compiles and
+# runs, fwd and bwd, with and without dropout; the next-larger shipped
+# shapes (xlarge freq: 23 / 53 MiB) are far beyond any plausible limit.
+# fp32 keeps the conservative targets.
+_FWD_CEIL_BF16 = int(16.3 * 1024 * 1024)
+_BWD_CEIL_BF16 = int(15.7 * 1024 * 1024)
+
+
 def supports_block(emb_dim: int, attention_dim: int, n_heads: int,
                    seq_len: int, itemsize: int = 2) -> bool:
     """Whether the fused attention-step kernel (fwd AND bwd) fits VMEM."""
@@ -149,10 +159,12 @@ def supports_block(emb_dim: int, attention_dim: int, n_heads: int,
     lp = _round_up(seq_len, LANE)
     if seq_len > MAX_L:
         return False
+    fwd_ceil = _FWD_CEIL_BF16 if itemsize == 2 else _VMEM_TARGET_FWD
+    bwd_ceil = _BWD_CEIL_BF16 if itemsize == 2 else _VMEM_TARGET
     return (_vmem_bytes(lp, cp, hp, _blk_q(lp, _FWD_BLK_BUDGET), False,
-                        itemsize) < _VMEM_TARGET_FWD
+                        itemsize) < fwd_ceil
             and _vmem_bytes(lp, cp, hp, _blk_q(lp, 2 * 1024 * 1024), True,
-                            itemsize) < _VMEM_TARGET)
+                            itemsize) < bwd_ceil)
 
 
 def _pick_group(lp: int, cp: int, hp: int, blk_q: int, bwd: bool,
