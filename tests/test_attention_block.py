@@ -50,8 +50,13 @@ def test_forward_parity(rng, c, a, h, l, rope):
 def test_supports_block_gate():
     assert AB.supports_block(96, 96, 4, 1025)     # freq path, base config
     assert AB.supports_block(96, 96, 4, 259)      # time path
+    assert AB.supports_block(128, 128, 8, 1025)   # medium freq (calibrated:
+    assert AB.supports_block(128, 128, 8, 431)    # compiles+runs on v5e)
     assert not AB.supports_block(96, 95, 4, 64)   # head split must be exact
     assert not AB.supports_block(96, 96, 4, 8192) # beyond the VMEM budget
+    assert not AB.supports_block(256, 256, 16, 2049)  # xlarge freq
+    # fp32 rows double the footprint: medium freq gates back out
+    assert not AB.supports_block(128, 128, 8, 1025, itemsize=4)
 
 
 @pytest.mark.parametrize("c,a,h,l,rope", [
