@@ -32,12 +32,23 @@ def attn_step_applicable(norm_type: str, flash_attention: bool,
     """Whether the fully fused norm+MHSA+residual kernel serves this step
     (the block passes the pre-norm scale into the attention when it does).
     ``itemsize`` = compute dtype width (fp32 doubles the kernel's VMEM
-    footprint vs the production bf16)."""
-    from ..ops.pallas import pallas_enabled
-    if not (flash_attention and pallas_enabled()
-            and norm_type == "rmsgroupnorm"):
+    footprint vs the production bf16).  Under a model-parallel mesh the
+    step runs shard_map-wrapped with heads split over mp
+    (``parallel/tp_fused.py``), so the VMEM gate applies to the PER-SHARD
+    shape."""
+    from ..ops.pallas import pallas_enabled, tp_fused_mesh
+    if not (flash_attention and norm_type == "rmsgroupnorm"):
         return False
     from ..ops.pallas.attention_block import supports_block
+    mesh = tp_fused_mesh()
+    if mesh is not None:
+        mp = mesh.shape["mp"]
+        if n_heads % mp or attention_dim % n_heads:
+            return False
+        return supports_block(emb_dim, attention_dim // mp, n_heads // mp,
+                              seq_len, itemsize)
+    if not pallas_enabled():
+        return False
     return supports_block(emb_dim, attention_dim, n_heads, seq_len, itemsize)
 
 
@@ -74,6 +85,7 @@ class MultiHeadSelfAttention(nn.Module):
         head_dim = self.attention_dim // self.n_heads
 
         if prenorm_gamma is not None:
+            from ..ops.pallas import tp_fused_mesh
             from ..ops.pallas.attention_block import fused_attention_block
             w_qkv = _Weight((self.attention_dim * 3, self.emb_dim),
                             1.0 / (self.emb_dim ** 0.5), name="qkv")()
@@ -87,6 +99,19 @@ class MultiHeadSelfAttention(nn.Module):
                 seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
                                           jnp.iinfo(jnp.int32).max,
                                           dtype=jnp.int32)
+            mesh = tp_fused_mesh()
+            if mesh is not None:
+                # heads sharded over mp; the post-projection dropout site
+                # and the residual apply to the psum'd FULL output here
+                from ..parallel.tp_fused import tp_attention_step
+                xd = x.astype(self.dtype)
+                out = tp_attention_step(
+                    xd, prenorm_gamma, w_qkv, w_out, self.n_heads,
+                    self.prenorm_groups, self.prenorm_eps, self.use_rope,
+                    10000.0, drop, seed, mesh)
+                out = nn.Dropout(self.dropout,
+                                 deterministic=deterministic)(out)
+                return xd + out
             return fused_attention_block(
                 x.astype(self.dtype), prenorm_gamma, w_qkv, w_out,
                 self.n_heads, self.prenorm_groups, self.prenorm_eps,

@@ -47,11 +47,21 @@ def block_step_applicable(norm_type: str, ffn_type: str, use_fused: bool,
     norm + the plain fused FFN kernel, both VMEM-safe on their own.
     ``itemsize`` = the compute dtype width (fp32 rows double the VMEM
     footprint and gate out shapes bf16 admits)."""
-    from ..ops.pallas import pallas_enabled
+    from ..ops.pallas import pallas_enabled, tp_fused_mesh
     from ..ops.pallas.swiglu_block import supports_step
-    return (use_fused and pallas_enabled() and norm_type == "rmsgroupnorm"
+    if not (use_fused and norm_type == "rmsgroupnorm"
             and ffn_type == "swiglu_conv1d"
-            and swiglu_ffn.supports(kernel, shift)
+            and swiglu_ffn.supports(kernel, shift)):
+        return False
+    mesh = tp_fused_mesh()
+    if mesh is not None:
+        # shard_map TP mode: inner channels split over mp, per-shard VMEM
+        mp = mesh.shape["mp"]
+        if hidden_dim % mp:
+            return False
+        return supports_step(seq_len, emb_dim, hidden_dim // mp, kernel,
+                             bwd=needs_bwd, itemsize=itemsize)
+    return (pallas_enabled()
             and supports_step(seq_len, emb_dim, hidden_dim, kernel,
                               bwd=needs_bwd, itemsize=itemsize))
 
@@ -118,13 +128,29 @@ class SwiGLUConvDeconv1d(nn.Module):
         deconv_w, deconv_b = dw()
 
         if prenorm_gamma is not None:
-            assert fused_ok, "prenorm fusion requires the fused TPU path"
-            from ..ops.pallas.swiglu_block import fused_norm_ffn_residual
+            from ..ops.pallas import tp_fused_mesh
+            mesh = tp_fused_mesh()
+            assert fused_ok or mesh is not None, \
+                "prenorm fusion requires the fused TPU path"
             seed = None
             if drop_rate > 0.0:
                 seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
                                           jnp.iinfo(jnp.int32).max,
                                           dtype=jnp.int32)
+            if mesh is not None:
+                # inner dim sharded over mp; the deconv bias, the outer
+                # dropout site, and the residual apply to the psum'd FULL
+                # output here (``parallel/tp_fused.py``)
+                from ..parallel.tp_fused import tp_ffn_step
+                xd = x.astype(self.dtype)
+                y = tp_ffn_step(xd, prenorm_gamma, conv_w, conv_b, deconv_w,
+                                k, self.prenorm_groups, self.prenorm_eps,
+                                drop_rate, seed, mesh)
+                y = y + deconv_b.astype(y.dtype)
+                y = nn.Dropout(self.dropout,
+                               deterministic=deterministic)(y)
+                return (xd + y).reshape(b, s1, s2, h)
+            from ..ops.pallas.swiglu_block import fused_norm_ffn_residual
             y = fused_norm_ffn_residual(
                 x.astype(self.dtype), prenorm_gamma, conv_w, conv_b,
                 deconv_w, deconv_b, k, self.prenorm_groups,

@@ -10,8 +10,18 @@ under a mesh with ``mp > 1`` XLA's partitioner would at best fully
 replicate around each ``pallas_call`` (a silent perf cliff) and at worst
 error.  ``parallel.mesh.make_mesh`` records whether the active mesh has a
 non-trivial ``mp`` axis; while it does, :func:`pallas_enabled` is False and
-every fused path falls back to its XLA implementation (which XLA shards
-correctly through the Megatron rules in ``parallel/sharding.py``).
+the single-device fused paths fall back to their XLA implementations
+(which XLA shards correctly through the Megatron rules in
+``parallel/sharding.py``).
+
+The EXCEPTION is the pair of fully fused block-step kernels, which DO run
+under model parallelism: ``parallel/tp_fused.py`` wraps them in
+``jax.shard_map`` over the recorded mesh's ``mp`` axis (heads / inner
+channels sharded per chip, explicit psum on the row-parallel products).
+:func:`tp_fused_mesh` exposes the recorded mesh to those call sites; it is
+non-None only on a real TPU backend (the CPU dryrun keeps the XLA
+fallbacks) or under :func:`force_tp_fused_for_testing` (interpret-mode
+multi-device CPU tests).
 """
 
 from __future__ import annotations
@@ -19,6 +29,8 @@ from __future__ import annotations
 import functools
 
 _MP_ACTIVE = False
+_TP_MESH = None
+_TP_FORCE = False
 
 
 @functools.lru_cache(maxsize=None)
@@ -31,17 +43,38 @@ def on_tpu() -> bool:
         return False
 
 
-def set_model_parallel(active: bool) -> None:
+def set_model_parallel(active: bool, mesh=None) -> None:
     """Record whether a model-parallel (mp>1) mesh is active.
 
-    Called by ``parallel.mesh.make_mesh``; while True, fused Pallas paths
-    are disabled in favor of the XLA fallbacks (which SPMD can shard)."""
-    global _MP_ACTIVE
+    Called by ``parallel.mesh.make_mesh``; while True, the single-device
+    fused Pallas paths are disabled in favor of the XLA fallbacks (which
+    SPMD can shard) and the shard_map-wrapped TP block steps take over
+    where their shape gates admit.  ``mesh`` is the active
+    ``jax.sharding.Mesh`` (with ``dp``/``mp`` axes) for those wrappers."""
+    global _MP_ACTIVE, _TP_MESH
     _MP_ACTIVE = bool(active)
+    _TP_MESH = mesh if active else None
 
 
 def model_parallel_active() -> bool:
     return _MP_ACTIVE
+
+
+def force_tp_fused_for_testing(force: bool) -> None:
+    """Let CPU tests exercise the shard_map-wrapped TP kernels (inside
+    ``pltpu.force_tpu_interpret_mode``) without enabling every other fused
+    path the way monkeypatching :func:`on_tpu` would."""
+    global _TP_FORCE
+    _TP_FORCE = bool(force)
+
+
+def tp_fused_mesh():
+    """The active model-parallel mesh when the shard_map-wrapped TP block
+    steps may serve compute (real TPU backend, or forced for interpret-mode
+    tests); None otherwise."""
+    if _TP_MESH is None or not (on_tpu() or _TP_FORCE):
+        return None
+    return _TP_MESH
 
 
 def pallas_enabled() -> bool:

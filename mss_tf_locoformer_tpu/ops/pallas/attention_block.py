@@ -196,10 +196,16 @@ def _norm_t(x32, bd_ref, gamma_ref, dpg: int, eps: float):
 def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                  cos_ref, sin_ref, seed_ref, *out_refs, n_heads: int,
                  dp: int, dpg: int, eps: float, l_actual: int, blk_q: int,
-                 group: int, rope: bool, drop_rate: float, stash: bool):
+                 group: int, rope: bool, drop_rate: float, stash: bool,
+                 residual: bool = True):
     """``out_refs`` is ``(o_ref,)`` or ``(o_ref, ostash_ref)`` — training
     stashes the packed head outputs ``[Hp, Lp]`` so the backward's dwo
-    needs no ``V @ Pd`` recompute (one of its six score-class matmuls)."""
+    needs no ``V @ Pd`` recompute (one of its six score-class matmuls).
+
+    ``residual=False`` (the tensor-parallel mode, ``parallel/tp_fused.py``)
+    emits the bare projected output: the kernel's result is one mp-shard's
+    PARTIAL sum over heads, so the residual add and the post-projection
+    dropout site must happen after the cross-shard psum, outside."""
     o_ref = out_refs[0]
     lp = x_ref.shape[-1]
     masked = lp != l_actual
@@ -252,6 +258,9 @@ def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
 
         out = jax.lax.dot(wo_ref[...], o_all,
                           preferred_element_type=jnp.float32)  # [Cp, Lp]
+        if not residual:  # TP partial sum: dropout/residual after the psum
+            o_ref[gi] = out.astype(o_ref.dtype)
+            continue
         if drop_rate > 0.0:  # reference's post-projection dropout site
             keep = _dropout_mask(seed_ref, group, gi, out.shape, drop_rate)
             out = jnp.where(keep, out * (1.0 / (1.0 - drop_rate)), 0.0)
@@ -313,11 +322,11 @@ def _seed_arr(seed):
     return jnp.asarray(seed, jnp.int32).reshape(1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 11))
 def fused_attention_block(x, gamma, w_qkv, w_out, n_heads: int,
                           num_groups: int, eps: float, rope: bool = True,
                           theta: float = 10000.0, drop_rate: float = 0.0,
-                          seed=None):
+                          seed=None, residual: bool = True):
     """x ``[R, L, C]`` -> ``x + Drop(OutProj(MHSA(RMSGroupNorm(x))))``.
 
     gamma ``[C]`` is the pre-norm RMSGroupNorm scale (``x/(rms+eps)*gamma``
@@ -327,13 +336,20 @@ def fused_attention_block(x, gamma, w_qkv, w_out, n_heads: int,
     the int32 ``seed [1]`` — attention probabilities (the reference's SDPA
     ``dropout_p``, same rate) and the projected output; the backward
     replays both masks bit-identically.
+
+    ``residual=False`` is the tensor-parallel mode (``parallel/tp_fused.py``):
+    the call computes only ``OutProj(MHSA(RMSGroupNorm(x)))`` for ITS heads —
+    one mp-shard's PARTIAL sum — so the caller psums over mp and applies the
+    post-projection dropout site and the residual add itself.  The in-SDPA
+    probability dropout site still runs in-kernel (it is per-head).
     """
     return _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                         rope, theta, drop_rate, seed)
+                         rope, theta, drop_rate, seed, residual=residual)
 
 
 def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                  rope, theta, drop_rate=0.0, seed=None, return_o=False):
+                  rope, theta, drop_rate=0.0, seed=None, return_o=False,
+                  residual=True):
     _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
     lp = _round_up(x.shape[1], LANE)
     itemsize = jnp.dtype(x.dtype).itemsize
@@ -370,7 +386,7 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
                           dpg=c // num_groups, eps=float(eps),
                           l_actual=seq_len, blk_q=blk_q, group=group,
                           rope=rope, drop_rate=float(drop_rate),
-                          stash=return_o),
+                          stash=return_o, residual=residual),
         grid=(rp // group,),
         in_specs=[row(), const((cp, 1)), const((cp, cp)),
                   const((hp, cp)), const((hp, cp)), const((hp, cp)),
@@ -392,7 +408,7 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                      dx_ref, dgamma_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref,
                      *, n_heads: int, dp: int, dpg: int, eps: float,
                      l_actual: int, blk_q: int, group: int, rope: bool,
-                     drop_rate: float):
+                     drop_rate: float, residual: bool = True):
     lp = x_ref.shape[-1]
     masked = lp != l_actual
     dt = wq_ref.dtype
@@ -416,7 +432,10 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
 
         dz = jnp.where(live, g_ref[gi].astype(jnp.float32), 0.0)
         dzd = dz
-        if drop_rate > 0.0:  # replay the forward's exact mask
+        # the post-projection dropout site only exists in residual mode (the
+        # TP caller applies it after the psum, so its cotangent is already
+        # masked by XLA's AD by the time g arrives here)
+        if drop_rate > 0.0 and residual:  # replay the forward's exact mask
             keep = _dropout_mask(seed_ref, group, gi, dz.shape, drop_rate)
             dzd = jnp.where(keep, dz * (1.0 / (1.0 - drop_rate)), 0.0)
         dzd_c = dzd.astype(dt)
@@ -528,11 +547,15 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                             preferred_element_type=jnp.float32)
         rms_safe = jnp.maximum(rms, 1e-30)
         dx_norm = gdxn * inv - x32 * t_grp * inv * inv / (dpg * rms_safe)
-        dx_ref[gi] = (jnp.where(live, dx_norm, 0.0) + dz).astype(dx_ref.dtype)
+        dx_norm = jnp.where(live, dx_norm, 0.0)
+        # residual path cotangent only in residual mode (TP adds x outside)
+        dx_ref[gi] = (dx_norm + dz if residual else dx_norm
+                      ).astype(dx_ref.dtype)
 
 
 def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                          rope, theta, drop_rate, seed, g, o_stash):
+                          rope, theta, drop_rate, seed, g, o_stash,
+                          residual=True):
     _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
     lp = _round_up(x.shape[1], LANE)
     itemsize = jnp.dtype(x.dtype).itemsize
@@ -573,7 +596,8 @@ def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
         functools.partial(_attn_bwd_kernel, n_heads=n_heads, dp=dp,
                           dpg=c // num_groups, eps=float(eps),
                           l_actual=seq_len, blk_q=blk_q, group=group,
-                          rope=rope, drop_rate=float(drop_rate)),
+                          rope=rope, drop_rate=float(drop_rate),
+                          residual=residual),
         grid=(rp // group,),
         in_specs=[row(), const((cp, 1)), const((cp, cp)),
                   const((hp, cp)), const((hp, cp)), const((hp, cp)),
@@ -610,9 +634,10 @@ def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
 
 
 def reference_attention_block(x, gamma, w_qkv, w_out, n_heads, num_groups,
-                              eps, rope=True, theta=10000.0):
+                              eps, rope=True, theta=10000.0, residual=True):
     """Unfused composition (parity oracle AND the drop-free backward
-    fallback — flash_attention inside carries its own Pallas backward)."""
+    fallback — flash_attention inside carries its own Pallas backward).
+    ``residual=False`` matches the TP partial-output kernel mode."""
     from .. import attention as attn_ops
     c = x.shape[-1]
     a = w_qkv.shape[0] // 3
@@ -631,23 +656,26 @@ def reference_attention_block(x, gamma, w_qkv, w_out, n_heads, num_groups,
         qkv[0], qkv[1], qkv[2], backend="flash",
         fused_rope=rope, rope_theta=theta)
     o = jnp.swapaxes(o, 1, 2).reshape(r, l, a)
-    return x + o @ w_out.T.astype(x.dtype)
+    proj = o @ w_out.T.astype(x.dtype)
+    return x + proj if residual else proj
 
 
 def _attn_fwd(x, gamma, w_qkv, w_out, n_heads, num_groups, eps, rope, theta,
-              drop_rate, seed=None):
+              drop_rate, seed=None, residual=True):
     out, o_stash = _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups,
                                  eps, rope, theta, drop_rate, seed,
-                                 return_o=True)
+                                 return_o=True, residual=residual)
     return out, (x, gamma, w_qkv, w_out, seed, o_stash)
 
 
-def _attn_bwd(n_heads, num_groups, eps, rope, theta, drop_rate, res, g):
+def _attn_bwd(n_heads, num_groups, eps, rope, theta, drop_rate, residual,
+              res, g):
     x, gamma, w_qkv, w_out, seed, o_stash = res
     try:
         grads = _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads,
                                       num_groups, eps, rope, theta,
-                                      drop_rate, seed, g, o_stash)
+                                      drop_rate, seed, g, o_stash,
+                                      residual=residual)
     except Exception as e:
         if drop_rate > 0.0:
             raise  # the XLA fallback cannot replay the in-kernel mask
@@ -655,7 +683,8 @@ def _attn_bwd(n_heads, num_groups, eps, rope, theta, drop_rate, res, g):
         warn_fallback("attention_block.bwd", e)
         _, vjp = jax.vjp(
             lambda *a: reference_attention_block(*a, n_heads, num_groups,
-                                                 eps, rope, theta),
+                                                 eps, rope, theta,
+                                                 residual=residual),
             x, gamma, w_qkv, w_out)
         grads = vjp(g)
     if seed is None:

@@ -185,7 +185,8 @@ def _dz_cat_down(dz, k: int, dt):
 
 def _blk_kernel(x_ref, gamma_ref, bd_ref, wvg_ref, wdc_ref, bvg_ref,
                 db_ref, seed_ref, o_ref, *, k: int, s2: int, ip: int,
-                group: int, dpg: int, eps: float, drop_rate: float):
+                group: int, dpg: int, eps: float, drop_rate: float,
+                residual: bool = True):
     lp = x_ref.shape[1]
     dt = wvg_ref.dtype
     cp = x_ref.shape[-1]
@@ -220,6 +221,13 @@ def _blk_kernel(x_ref, gamma_ref, bd_ref, wvg_ref, wdc_ref, bvg_ref,
                 t = pltpu.roll(t, lp - j, 0)
             z = t if z is None else z + t
         z = z + db_ref[...].astype(jnp.float32)
+        if not residual:
+            # TP partial sum over the mp-sharded inner dim: the outer
+            # dropout site and the residual add happen after the psum,
+            # outside (``parallel/tp_fused.py``; the caller passes a zero
+            # deconv bias and adds the real one post-psum)
+            o_ref[gi] = z.astype(o_ref.dtype)
+            continue
         if drop_rate > 0.0:  # outer (post-crop) dropout
             pltpu.prng_seed(seed_ref[0] ^ _OUTER_SEED_OFFSET,
                             pl.program_id(0) * group + gi)
@@ -247,21 +255,29 @@ def _blockdiag(c, cp, num_groups):
     return jnp.asarray(bd.astype(np.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 11))
 def fused_norm_ffn_residual(x, gamma, conv_w, conv_b, deconv_w, deconv_b,
                             kernel: int, num_groups: int, eps: float,
-                            drop_rate: float = 0.0, seed=None):
+                            drop_rate: float = 0.0, seed=None,
+                            residual: bool = True):
     """x ``[R, S2, C]`` -> ``x + dropout(FFN(RMSGroupNorm(x)))`` ``[R, S2, C]``.
 
     gamma ``[C]`` is the pre-norm scale (RMSGroupNorm, ``x/(rms+eps)*gamma``
     quirk included); weights in torch layouts as in ``swiglu_conv_deconv``.
+
+    ``residual=False`` is the tensor-parallel mode (``parallel/tp_fused.py``):
+    the call computes only ``deconv(dropout_inner(SwiGLU(conv(norm(x)))))``
+    for ITS slice of the mp-sharded inner dim — a partial sum — so the
+    caller psums over mp, adds the (excluded) deconv bias, and applies the
+    outer dropout site and residual itself.  The inner (pre-deconv) dropout
+    site still runs in-kernel (it is per-inner-channel).
     """
     return _blk_forward(x, gamma, conv_w, conv_b, deconv_w, deconv_b,
-                        kernel, num_groups, eps, drop_rate, seed)
+                        kernel, num_groups, eps, drop_rate, seed, residual)
 
 
 def _blk_forward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
-                 num_groups, eps, drop_rate, seed):
+                 num_groups, eps, drop_rate, seed, residual=True):
     r, s2, c = x.shape
     inner = deconv_w.shape[0]
     k = kernel
@@ -289,7 +305,7 @@ def _blk_forward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
     out = pl.pallas_call(
         functools.partial(_blk_kernel, k=k, s2=s2, ip=ip, group=group,
                           dpg=c // num_groups, eps=float(eps),
-                          drop_rate=float(drop_rate)),
+                          drop_rate=float(drop_rate), residual=residual),
         grid=(rp // group,),
         in_specs=[row(), const((1, cp)), const((cp, cp)),
                   const((k * cp, 2 * ip)), const((ip, k * cp)),
@@ -305,7 +321,8 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wvg_ref, wdc_ref,
                     bv_ref, bg_ref, seed_ref, g_ref,
                     dx_ref, dgamma_ref, dwvg_ref, dwdc_ref,
                     dbv_ref, dbg_ref, ddb_ref, *, k: int, s2: int, ip: int,
-                    group: int, dpg: int, eps: float, drop_rate: float):
+                    group: int, dpg: int, eps: float, drop_rate: float,
+                    residual: bool = True):
     """IT-tiled backward: the wide ``[Lp, inner]`` intermediates (the VMEM
     hog that gated freq-path training shapes out in round 2) are processed
     in IT-wide channel tiles.  No halos: the SwiGLU gate couples channels
@@ -338,7 +355,10 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wvg_ref, wdc_ref,
         xn, inv, rms = _norm_fwd(x32, bd_ref, gamma_ref, dpg, eps)
 
         dz = jnp.where(live_x, g_ref[gi].astype(jnp.float32), 0.0)
-        if drop_rate > 0.0:  # replay outer mask
+        # the outer dropout site only exists in residual mode (the TP
+        # caller applies it after the psum; its cotangent is already
+        # masked by XLA's AD by the time g arrives here)
+        if drop_rate > 0.0 and residual:  # replay outer mask
             pltpu.prng_seed(seed_ref[0] ^ _OUTER_SEED_OFFSET,
                             pl.program_id(0) * group + gi)
             bits = jax.lax.bitwise_and(
@@ -427,13 +447,14 @@ def _blk_bwd_kernel(x_ref, gamma_ref, bd_ref, wvg_ref, wdc_ref,
         rms_safe = jnp.maximum(rms, 1e-30)
         dx32 = gdxn * inv - x32 * t_grp * inv * inv / (dpg * rms_safe)
         dx32 = jnp.where(live_x, dx32, 0.0)
-        dx_ref[gi] = (dx32 + jnp.where(live_x,
-                                       g_ref[gi].astype(jnp.float32), 0.0)
-                      ).astype(dx_ref.dtype)
+        if residual:  # residual path cotangent (TP adds x outside)
+            dx32 = dx32 + jnp.where(live_x,
+                                    g_ref[gi].astype(jnp.float32), 0.0)
+        dx_ref[gi] = dx32.astype(dx_ref.dtype)
 
 
 def _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
-                  num_groups, eps, drop_rate, seed, g):
+                  num_groups, eps, drop_rate, seed, g, residual=True):
     r, s2, c = x.shape
     inner = deconv_w.shape[0]
     k = kernel
@@ -468,7 +489,7 @@ def _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
     outs = pl.pallas_call(
         functools.partial(_blk_bwd_kernel, k=k, s2=s2, ip=ip, group=group,
                           dpg=c // num_groups, eps=float(eps),
-                          drop_rate=float(drop_rate)),
+                          drop_rate=float(drop_rate), residual=residual),
         grid=(rp // group,),
         in_specs=[row(), const((1, cp)), const((cp, cp)),
                   const((k * cp, 2 * ip)), const((ip, k * cp)),
@@ -509,17 +530,18 @@ def _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
 
 
 def _blk_fwd(x, gamma, conv_w, conv_b, deconv_w, deconv_b, kernel,
-             num_groups, eps, drop_rate, seed=None):
+             num_groups, eps, drop_rate, seed=None, residual=True):
     out = _blk_forward(x, gamma, conv_w, conv_b, deconv_w, deconv_b,
-                       kernel, num_groups, eps, drop_rate, seed)
+                       kernel, num_groups, eps, drop_rate, seed, residual)
     return out, (x, gamma, conv_w, conv_b, deconv_w, deconv_b, seed)
 
 
-def _blk_bwd(kernel, num_groups, eps, drop_rate, res, g):
+def _blk_bwd(kernel, num_groups, eps, drop_rate, residual, res, g):
     x, gamma, conv_w, conv_b, deconv_w, deconv_b, seed = res
     try:
         grads = _blk_backward(x, gamma, conv_w, conv_b, deconv_w, deconv_b,
-                              kernel, num_groups, eps, drop_rate, seed, g)
+                              kernel, num_groups, eps, drop_rate, seed, g,
+                              residual)
     except Exception as e:
         if drop_rate > 0.0:
             raise  # the unfused fallback cannot replay the in-kernel mask
@@ -529,7 +551,7 @@ def _blk_bwd(kernel, num_groups, eps, drop_rate, res, g):
         # kernel exceeds scoped VMEM: recompute through the unfused math
         _, vjp = jax.vjp(
             lambda *a: reference_norm_ffn_residual(*a, kernel, num_groups,
-                                                   eps),
+                                                   eps, residual),
             x, gamma, conv_w, conv_b, deconv_w, deconv_b)
         grads = vjp(g)
     if seed is None:
@@ -543,8 +565,11 @@ fused_norm_ffn_residual.defvjp(_blk_fwd, _blk_bwd)
 
 
 def reference_norm_ffn_residual(x, gamma, conv_w, conv_b, deconv_w, deconv_b,
-                                kernel, num_groups, eps):
-    """Unfused jnp math (parity oracle; dropout-free)."""
+                                kernel, num_groups, eps, residual=True):
+    """Unfused jnp math (parity oracle; dropout-free).  ``residual=False``
+    matches the TP partial-output kernel mode (no residual add; the deconv
+    bias is still applied from whatever the caller passes — TP passes
+    zeros)."""
     from .. import conv as conv_ops
     c = x.shape[-1]
     dpg = c // num_groups
@@ -562,4 +587,5 @@ def reference_norm_ffn_residual(x, gamma, conv_w, conv_b, deconv_w, deconv_b,
     z = conv_ops.conv_transpose1d(h, deconv_w.astype(x.dtype),
                                   deconv_b.astype(x.dtype), stride=1,
                                   padding=0)
-    return x + z[:, diff_ks:diff_ks + x.shape[1], :]
+    z = z[:, diff_ks:diff_ks + x.shape[1], :]
+    return x + z if residual else z

@@ -33,12 +33,14 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
         dp = n // mp
     if dp * mp != n:
         raise ValueError(f"mesh {dp}x{mp} != {n} devices")
-    # Fused Pallas kernels carry no SPMD sharding rules: with mp > 1 they
-    # must yield to the XLA fallbacks (see ops/pallas.pallas_enabled).
-    from ..ops.pallas import set_model_parallel
-    set_model_parallel(mp > 1)
+    # With mp > 1 the plain fused Pallas kernels (no SPMD sharding rules)
+    # yield to XLA fallbacks, while the fused BLOCK steps run through the
+    # shard_map TP wrappers over this mesh (parallel/tp_fused.py).
     arr = np.asarray(devices).reshape(dp, mp)
-    return Mesh(arr, axis_names=("dp", "mp"))
+    mesh = Mesh(arr, axis_names=("dp", "mp"))
+    from ..ops.pallas import set_model_parallel
+    set_model_parallel(mp > 1, mesh)
+    return mesh
 
 
 def local_mesh() -> Mesh:

@@ -24,9 +24,12 @@ def _reset_pallas_state():
 # ------------------------------------------------------- mp>1 Pallas gate
 
 def test_pallas_disabled_under_model_parallel(monkeypatch):
-    """With an mp>1 mesh active, every fused-kernel gate must say no even on
-    a TPU backend: the kernels declare no SPMD sharding rules (VERDICT r2
-    Weak #1), so TP runs must use the XLA fallbacks."""
+    """With an mp>1 mesh active, the PLAIN fused kernels (no SPMD sharding
+    rules — VERDICT r2 Weak #1) must yield to the XLA fallbacks even on a
+    TPU backend.  The fused BLOCK steps are the exception: they run through
+    the shard_map TP wrappers (``parallel/tp_fused.py``), so their gates
+    stay open where the PER-SHARD shape fits (covered in
+    ``test_tp_fused.py``)."""
     from mss_tf_locoformer_tpu.nn.attention import attn_step_applicable
     from mss_tf_locoformer_tpu.nn.ffn import block_step_applicable
 
@@ -34,14 +37,21 @@ def test_pallas_disabled_under_model_parallel(monkeypatch):
     M.make_mesh(jax.devices()[:8], dp=4, mp=2)
     assert P.model_parallel_active()
     assert not P.pallas_enabled()
-    assert not attn_step_applicable("rmsgroupnorm", True, 96, 96, 4, 1056)
+    assert P.tp_fused_mesh() is not None
+    # block steps route through tp_fused (per-shard gates)
+    assert attn_step_applicable("rmsgroupnorm", True, 96, 96, 4, 1056)
+    assert block_step_applicable("rmsgroupnorm", "swiglu_conv1d", True,
+                                 4, 1, 1056, 384, 96)
+    # shard splits that don't divide the heads / inner dim gate back out
+    assert not attn_step_applicable("rmsgroupnorm", True, 96, 96, 3, 1056)
     assert not block_step_applicable("rmsgroupnorm", "swiglu_conv1d", True,
-                                     4, 1, 1056, 384, 96)
+                                     4, 1, 1056, 383, 96)
 
-    # a dp-only mesh re-enables the fused paths
+    # a dp-only mesh re-enables the plain fused paths, no TP wrappers
     M.make_mesh(jax.devices()[:8], dp=8, mp=1)
     assert not P.model_parallel_active()
     assert P.pallas_enabled()
+    assert P.tp_fused_mesh() is None
 
 
 def test_flash_backend_falls_back_under_mp(monkeypatch, rng):

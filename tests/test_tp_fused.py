@@ -1,0 +1,214 @@
+"""shard_map-wrapped fused block steps under model-parallel meshes.
+
+Round-2 simply disabled every fused Pallas kernel when ``mp > 1`` (the
+kernels carry no SPMD rules); ``parallel/tp_fused.py`` re-enables the two
+fully fused BLOCK steps by running them inside ``jax.shard_map`` with
+heads / FFN-inner channels split over ``mp`` and one explicit psum.
+
+CPU coverage notes:
+
+* interpret-mode ``pallas_call`` lowers through ``io_callback``, which
+  rejects partial-auto meshes, so the wrappers go FULLY manual off-TPU
+  (rows replicated over dp).  A fully-manual 8-device (dp=4, mp=2) mesh
+  additionally DEADLOCKS the CPU client's callback path, so these tests
+  pin ``dp=1`` — the dp axis is GSPMD-automatic in production and its
+  behavior is covered by ``tests/test_parallel.py``.
+* the in-kernel dropout sites draw from the TPU PRNG, which yields zeros
+  under interpret mode; dropout variants are TPU-only (matching
+  ``test_attention_block.py``).
+"""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from mss_tf_locoformer_tpu.ops import pallas as P
+from mss_tf_locoformer_tpu.ops.pallas import attention_block as AB
+from mss_tf_locoformer_tpu.ops.pallas import swiglu_block as SB
+from mss_tf_locoformer_tpu.parallel import mesh as M
+from mss_tf_locoformer_tpu.parallel.tp_fused import (tp_attention_step,
+                                                     tp_ffn_step)
+
+_TPU = jax.default_backend() == "tpu"
+
+
+def _ctx():
+    return contextlib.nullcontext() if _TPU else pltpu.force_tpu_interpret_mode()
+
+
+@pytest.fixture(autouse=True)
+def _tp_mesh_state():
+    P.force_tp_fused_for_testing(True)
+    yield
+    P.force_tp_fused_for_testing(False)
+    P.set_model_parallel(False)
+
+
+def _mp_mesh(mp):
+    if len(jax.devices()) < mp:
+        pytest.skip(f"needs {mp} devices")
+    return M.make_mesh(jax.devices()[:mp], dp=1, mp=mp)
+
+
+def _attn_args(rng, r=2, l=64, c=16, a=16):
+    x = (0.5 * rng.standard_normal((r, l, c))).astype(np.float32)
+    gamma = (1.0 + 0.1 * rng.standard_normal(c)).astype(np.float32)
+    w_qkv = (rng.standard_normal((3 * a, c)) / np.sqrt(c)).astype(np.float32)
+    w_out = (rng.standard_normal((c, a)) / np.sqrt(a)).astype(np.float32)
+    return tuple(map(jnp.asarray, (x, gamma, w_qkv, w_out)))
+
+
+def _ffn_args(rng, r=2, l=64, c=16, inner=32, k=4):
+    x = (0.5 * rng.standard_normal((r, l, c))).astype(np.float32)
+    gamma = (1.0 + 0.1 * rng.standard_normal(c)).astype(np.float32)
+    cw = (rng.standard_normal((2 * inner, c, k)) / np.sqrt(c * k)
+          ).astype(np.float32)
+    cb = (0.1 * rng.standard_normal(2 * inner)).astype(np.float32)
+    dw = (rng.standard_normal((inner, c, k)) / np.sqrt(inner)
+          ).astype(np.float32)
+    return tuple(map(jnp.asarray, (x, gamma, cw, cb, dw)))
+
+
+# ----------------------------------------------------------- forward parity
+
+@pytest.mark.parametrize("mp,h", [(2, 2), (2, 4), (4, 4)])
+def test_tp_attention_forward_parity(rng, mp, h):
+    mesh = _mp_mesh(mp)
+    x, gamma, w_qkv, w_out = _attn_args(rng)
+    want = np.asarray(AB.reference_attention_block(
+        x, gamma, w_qkv, w_out, h, 4, 1e-5, True, 10000.0, residual=False))
+    with _ctx():
+        got = np.asarray(tp_attention_step(
+            x, gamma, w_qkv, w_out, h, 4, 1e-5, True, 10000.0, 0.0, None,
+            mesh))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=2e-3)
+
+
+@pytest.mark.parametrize("mp", [2, 4])
+def test_tp_ffn_forward_parity(rng, mp):
+    mesh = _mp_mesh(mp)
+    x, gamma, cw, cb, dw = _ffn_args(rng)
+    db0 = jnp.zeros((x.shape[-1],), jnp.float32)
+    want = np.asarray(SB.reference_norm_ffn_residual(
+        x, gamma, cw, cb, dw, db0, 4, 4, 1e-5, residual=False))
+    with _ctx():
+        got = np.asarray(tp_ffn_step(
+            x, gamma, cw, cb, dw, 4, 4, 1e-5, 0.0, None, mesh))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=2e-3)
+
+
+# ---------------------------------------------------------------- gradients
+
+def test_tp_attention_grad_parity(rng):
+    """All four cotangents through shard_map + psum + the fused backward
+    kernel vs jax.vjp of the unfused reference (residual=False mode)."""
+    mesh = _mp_mesh(2)
+    args = _attn_args(rng)
+    cot = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
+
+    def f_tp(*a):
+        return jnp.vdot(tp_attention_step(*a, 2, 4, 1e-5, True, 10000.0,
+                                          0.0, None, mesh), cot)
+
+    def f_ref(*a):
+        return jnp.vdot(AB.reference_attention_block(
+            *a, 2, 4, 1e-5, True, 10000.0, residual=False), cot)
+
+    with _ctx():
+        got = jax.grad(f_tp, argnums=(0, 1, 2, 3))(*args)
+    want = jax.grad(f_ref, argnums=(0, 1, 2, 3))(*args)
+    for g, w in zip(got, want):
+        scale = max(np.abs(np.asarray(w)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4 * scale, rtol=2e-3)
+
+
+def test_tp_ffn_grad_parity(rng):
+    mesh = _mp_mesh(2)
+    args = _ffn_args(rng)
+    cot = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
+    db0 = jnp.zeros((args[0].shape[-1],), jnp.float32)
+
+    def f_tp(*a):
+        return jnp.vdot(tp_ffn_step(*a, 4, 4, 1e-5, 0.0, None, mesh), cot)
+
+    def f_ref(*a):
+        return jnp.vdot(SB.reference_norm_ffn_residual(
+            *a, db0, 4, 4, 1e-5, residual=False), cot)
+
+    with _ctx():
+        got = jax.grad(f_tp, argnums=(0, 1, 2, 3, 4))(*args)
+    want = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for g, w in zip(got, want):
+        scale = max(np.abs(np.asarray(w)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4 * scale, rtol=2e-3)
+
+
+# ------------------------------------------------------------ gates / specs
+
+def test_tp_gates_respect_divisibility(monkeypatch):
+    """Under a tp-fused mesh the step gates apply PER-SHARD shapes and
+    refuse splits that don't divide heads / inner channels."""
+    from mss_tf_locoformer_tpu.nn.attention import attn_step_applicable
+    from mss_tf_locoformer_tpu.nn.ffn import block_step_applicable
+
+    _mp_mesh(2)
+    assert P.tp_fused_mesh() is not None
+    # heads 4 / inner 384 divide mp=2: fused TP steps admitted
+    assert attn_step_applicable("rmsgroupnorm", True, 96, 96, 4, 256)
+    assert block_step_applicable("rmsgroupnorm", "swiglu_conv1d", True,
+                                 4, 1, 256, 384, 96)
+    # odd head count / inner dim: back to the XLA fallbacks
+    assert not attn_step_applicable("rmsgroupnorm", True, 96, 96, 3, 256)
+    assert not block_step_applicable("rmsgroupnorm", "swiglu_conv1d", True,
+                                     4, 1, 256, 383, 96)
+    # plain (non-block) fused kernels stay disabled under mp>1
+    assert not P.pallas_enabled()
+
+
+def test_tp_mesh_requires_tpu_or_force():
+    """Without the testing override the TP wrappers only engage on a real
+    TPU backend — the CPU dryrun keeps the XLA fallbacks."""
+    P.force_tp_fused_for_testing(False)
+    _mp_mesh(2)
+    assert (P.tp_fused_mesh() is not None) == P.on_tpu()
+
+
+# ------------------------------------------------------- module integration
+
+def test_block_runs_tp_fused_end_to_end(rng, monkeypatch):
+    """LocoformerBlock routes both sub-steps through the TP wrappers under
+    an mp mesh and matches the SAME params run through the single-device
+    fused kernels (on_tpu patched so both builds pick the fused param
+    layout)."""
+    from mss_tf_locoformer_tpu.nn.blocks import LocoformerBlock
+
+    monkeypatch.setattr(P, "on_tpu", lambda: True)
+    block = LocoformerBlock(emb_dim=16, num_groups=4, n_heads=2,
+                            flash_attention=True, attention_dim=16,
+                            ffn_type="swiglu_conv1d", ffn_hidden_dim=32,
+                            conv1d_kernel=4, conv1d_shift=1,
+                            fused_ffn=True, dtype=jnp.float32)
+    x = jnp.asarray(0.5 * rng.standard_normal((1, 3, 48, 16)), jnp.float32)
+
+    mesh = _mp_mesh(2)
+    assert P.tp_fused_mesh() is not None
+    with _ctx():
+        params = block.init(jax.random.PRNGKey(0), x)
+        got = np.asarray(block.apply(params, x))
+
+    # single-device fused path: clear the mp mesh, keep on_tpu patched
+    P.set_model_parallel(False)
+    assert P.tp_fused_mesh() is None and P.pallas_enabled()
+    with _ctx():
+        want = np.asarray(block.apply(params, x))
+    scale = max(np.abs(want).max(), 1.0)
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=2e-3)
+    del mesh
