@@ -33,9 +33,13 @@ wrappers reshape to head/half-major views (``[3, H, D, C]``,
 ``[2, I, C, k]``) before shard_map and let SPMD reshard — a one-off
 weight-sized collective per step, negligible against the activations.
 
-Only the ``mp`` axis is manual (``axis_names={"mp"}``): the batch/row
-axis stays under GSPMD's automatic ``dp`` sharding, so these wrappers
-compose with the pjit data-parallel train step unchanged.
+The shard_map is FULLY manual over BOTH mesh axes: Mosaic custom calls
+refuse to lower under any remaining automatic axis ("Mosaic kernels
+cannot be automatically partitioned" — caught by lowering the wrapper
+for the TPU target on an AbstractMesh, ``tests/test_tp_fused.py``), so
+rows are mapped explicitly over ``dp`` (``P("dp")``) rather than riding
+GSPMD.  GSPMD still composes these wrappers with the pjit train step —
+it resharding-matches the explicit specs at the shard_map boundary.
 
 Numerics note: shard partial sums are added in the compute dtype by the
 psum (one bf16 add at mp=2) and the two dropout sites draw different
@@ -56,27 +60,19 @@ from ..ops.pallas.swiglu_block import fused_norm_ffn_residual
 __all__ = ["tp_attention_step", "tp_ffn_step"]
 
 
-def _manual_axes(mesh: Mesh):
-    """Manual shard_map axes: only ``mp`` in production, so the row/batch
-    axis stays under GSPMD's automatic ``dp`` sharding.  Interpret-mode CPU
-    tests must go FULLY manual instead — interpret-mode ``pallas_call``
-    lowers through ``io_callback``, which rejects partial-auto meshes —
-    with rows replicated over dp (redundant compute, test-only).  Keyed on
-    the REAL backend (not the patchable ``ops.pallas.on_tpu``): the choice
-    follows how the kernel will actually lower, not how gates are faked."""
-    if jax.default_backend() == "tpu":
-        return {"mp"}
-    return set(mesh.axis_names)
-
-# golden-ratio odd word folds the shard index into the dropout seed so
-# per-head / per-channel masks decorrelate across mp shards
+# golden-ratio odd word folds the LINEAR shard index (over dp AND mp) into
+# the dropout seed: mp shards hold different heads/channels and dp shards
+# hold different rows, but the in-kernel mask generators index by LOCAL
+# row/head, so an unfolded seed would replay identical masks at different
+# global positions
 _SHARD_SEED_STRIDE = -1640531527  # 0x9E3779B9 as int32
 
 
-def _local_seed(seed):
+def _local_seed(seed, mp: int):
     if seed is None:
         return None
-    idx = jax.lax.axis_index("mp").astype(jnp.int32)
+    idx = (jax.lax.axis_index("dp") * mp
+           + jax.lax.axis_index("mp")).astype(jnp.int32)
     return seed + idx * jnp.int32(_SHARD_SEED_STRIDE)
 
 
@@ -105,17 +101,18 @@ def tp_attention_step(x, gamma, w_qkv, w_out, n_heads: int, num_groups: int,
         part = fused_attention_block(
             x, gamma, wq4l.reshape(3 * hl * head_dim, c),
             wo3l.reshape(c, hl * head_dim), hl, num_groups, eps, rope,
-            theta, drop_rate, _local_seed(s[0]) if has_seed else None,
+            theta, drop_rate, _local_seed(s[0], mp) if has_seed else None,
             residual=False)
         return jax.lax.psum(part, "mp")
 
     args = [x, gamma, wq4, wo3]
-    in_specs = [P(), P(), P(None, "mp", None, None), P(None, "mp", None)]
+    in_specs = [P("dp", None, None), P(),
+                P(None, "mp", None, None), P(None, "mp", None)]
     if has_seed:
         args.append(jnp.asarray(seed, jnp.int32).reshape(1))
         in_specs.append(P())
     return jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
-                         out_specs=P(), axis_names=_manual_axes(mesh),
+                         out_specs=P("dp", None, None),
                          check_vma=False)(*args)
 
 
@@ -143,16 +140,16 @@ def tp_ffn_step(x, gamma, conv_w, conv_b, deconv_w, kernel: int,
         part = fused_norm_ffn_residual(
             x, gamma, cw4l.reshape(2 * il, c, kernel), cb2l.reshape(2 * il),
             dwl, jnp.zeros((c,), deconv_w.dtype), kernel, num_groups, eps,
-            drop_rate, _local_seed(s[0]) if has_seed else None,
+            drop_rate, _local_seed(s[0], mp) if has_seed else None,
             residual=False)
         return jax.lax.psum(part, "mp")
 
     args = [x, gamma, cw4, cb2, deconv_w]
-    in_specs = [P(), P(), P(None, "mp", None, None), P(None, "mp"),
-                P("mp", None, None)]
+    in_specs = [P("dp", None, None), P(), P(None, "mp", None, None),
+                P(None, "mp"), P("mp", None, None)]
     if has_seed:
         args.append(jnp.asarray(seed, jnp.int32).reshape(1))
         in_specs.append(P())
     return jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
-                         out_specs=P(), axis_names=_manual_axes(mesh),
+                         out_specs=P("dp", None, None),
                          check_vma=False)(*args)

@@ -133,3 +133,31 @@ def test_speech_families_forward_and_pit_step_on_tpu(rng):
     state, ld = step(state, mix, refs, 1e-4, jax.random.PRNGKey(4))
     assert np.isfinite(loss0) and np.isfinite(float(ld["total_loss"]))
     assert float(ld["total_loss"]) < loss0
+
+
+def test_tp_fused_wrappers_lower_for_tpu_target():
+    """The shard_map TP wrappers must LOWER for the real TPU target on
+    multi-device AbstractMeshes (no second chip needed): this runs the
+    Pallas->Mosaic MLIR pipeline + SPMD spec checks and is what caught the
+    partial-manual design ("Mosaic kernels cannot be automatically
+    partitioned") that interpret-mode CPU tests cannot see."""
+    from jax.sharding import AbstractMesh
+    from mss_tf_locoformer_tpu.parallel import tp_fused
+
+    R, L, C, H, A, I, K = 4, 64, 16, 4, 16, 32, 4
+    x = jnp.zeros((R, L, C), jnp.float32)
+    gamma = jnp.zeros((C,), jnp.float32)
+    w_qkv = jnp.zeros((3 * A, C), jnp.float32)
+    w_out = jnp.zeros((C, A), jnp.float32)
+    cw = jnp.zeros((2 * I, C, K), jnp.float32)
+    cb = jnp.zeros((2 * I,), jnp.float32)
+    dw = jnp.zeros((I, C, K), jnp.float32)
+    for dp, mp in [(1, 2), (2, 2), (2, 4)]:
+        mesh = AbstractMesh((dp, mp), ("dp", "mp"))
+        lowered = jax.jit(lambda *a: tp_fused.tp_attention_step(
+            *a, H, 4, 1e-5, True, 10000.0, 0.0, None, mesh)
+        ).lower(x, gamma, w_qkv, w_out)
+        assert "tpu_custom_call" in lowered.as_text()
+        lowered = jax.jit(lambda *a: tp_fused.tp_ffn_step(
+            *a, K, 4, 1e-5, 0.0, None, mesh)).lower(x, gamma, cw, cb, dw)
+        assert "tpu_custom_call" in lowered.as_text()

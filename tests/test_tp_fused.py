@@ -7,12 +7,13 @@ heads / FFN-inner channels split over ``mp`` and one explicit psum.
 
 CPU coverage notes:
 
-* interpret-mode ``pallas_call`` lowers through ``io_callback``, which
-  rejects partial-auto meshes, so the wrappers go FULLY manual off-TPU
-  (rows replicated over dp).  A fully-manual 8-device (dp=4, mp=2) mesh
-  additionally DEADLOCKS the CPU client's callback path, so these tests
-  pin ``dp=1`` — the dp axis is GSPMD-automatic in production and its
-  behavior is covered by ``tests/test_parallel.py``.
+* the wrappers are FULLY manual over both mesh axes everywhere (the TPU
+  lowering rejects partial-auto around Mosaic custom calls; see the
+  AbstractMesh lowering test in ``test_hardware_smoke.py``).  A
+  fully-manual 8-device (dp=4, mp=2) CPU mesh DEADLOCKS interpret mode's
+  ``io_callback`` path, so these tests pin ``dp=1``; dp semantics are
+  covered by ``tests/test_parallel.py`` and the TPU-target lowering runs
+  dp=2 meshes.
 * the in-kernel dropout sites draw from the TPU PRNG, which yields zeros
   under interpret mode; dropout variants are TPU-only (matching
   ``test_attention_block.py``).
@@ -182,6 +183,61 @@ def test_tp_mesh_requires_tpu_or_force():
 
 
 # ------------------------------------------------------- module integration
+
+def test_train_step_runs_tp_fused(rng, monkeypatch):
+    """One full optimizer step (STFT -> blocks -> loss -> grads -> AdamW)
+    with the TP wrappers serving both fused sub-steps on an mp=2 mesh,
+    vs the SAME params stepped through the single-device fused kernels.
+    Proves the shard_map wrappers compose with jit + custom-vjp + optax,
+    not just with a bare block apply."""
+    from mss_tf_locoformer_tpu.core.config import (Config, LossConfig,
+                                                   ModelConfig,
+                                                   OptimizerConfig,
+                                                   TrainingConfig)
+    from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+    from mss_tf_locoformer_tpu.train.state import init_state, make_optimizer
+    from mss_tf_locoformer_tpu.train.step import make_train_step
+
+    monkeypatch.setattr(P, "on_tpu", lambda: True)
+    cfg = Config(
+        model=ModelConfig(n_fft=128, hop_length=64, n_layers=1, emb_dim=16,
+                          num_groups=4, n_heads=2, attention_dim=16,
+                          ffn_type="swiglu_conv1d", ffn_hidden_dim=32,
+                          flash_attention=True, fused_ffn=True,
+                          fused_stft=False),
+        loss=LossConfig(loss_type="si_sdr"),
+        training=TrainingConfig(optimizer=OptimizerConfig(lr=1e-3)),
+    )
+    model = TFLocoformerMSS(cfg.model)
+    b, t = 1, 1000
+    stems = {k: 0.3 * rng.standard_normal((b, t)).astype(np.float32)
+             for k in ("vocals", "drums", "bass", "other")}
+    mixture = sum(stems.values())
+    tx = make_optimizer(cfg.training)
+    step = make_train_step(model, cfg, tx)
+    key = jax.random.PRNGKey(1)
+
+    mesh = _mp_mesh(2)
+    with _ctx():
+        params = model.init(jax.random.PRNGKey(0), mixture[:1])
+        s_tp = init_state(jax.tree.map(jnp.copy, params), tx)
+        s_tp, ld_tp = step(s_tp, mixture, stems, 1e-3, key)
+        loss_tp = float(ld_tp["total_loss"])
+
+    P.set_model_parallel(False)  # single-device fused path, same params
+    assert P.tp_fused_mesh() is None and P.pallas_enabled()
+    # fresh jit instance: the path gates are read at TRACE time, so reusing
+    # `step` would silently replay the TP-compiled executable
+    step_sd = make_train_step(model, cfg, tx)
+    with _ctx():
+        s_sd = init_state(jax.tree.map(jnp.copy, params), tx)
+        s_sd, ld_sd = step_sd(s_sd, mixture, stems, 1e-3, key)
+    np.testing.assert_allclose(loss_tp, float(ld_sd["total_loss"]),
+                               rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(s_sd.params), jax.tree.leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+    del mesh
+
 
 def test_block_runs_tp_fused_end_to_end(rng, monkeypatch):
     """LocoformerBlock routes both sub-steps through the TP wrappers under
