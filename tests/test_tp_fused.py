@@ -182,6 +182,65 @@ def test_tp_mesh_requires_tpu_or_force():
     assert (P.tp_fused_mesh() is not None) == P.on_tpu()
 
 
+# ----------------------------------------------------- TPU-target lowering
+
+def test_train_step_lowers_for_tpu_target(rng):
+    """Lower the FULL train step with the TP wrappers active for the real
+    TPU target on a 2x2 AbstractMesh — from the CPU backend.  This runs the
+    Pallas->Mosaic MLIR pipeline and GSPMD spec checks that interpret-mode
+    execution skips entirely (it is what caught the partial-manual design
+    Mosaic refuses to partition) and asserts the fused kernels actually
+    appear in the multi-chip program."""
+    from jax.sharding import AbstractMesh, NamedSharding
+    from jax.sharding import PartitionSpec as PS
+    from mss_tf_locoformer_tpu.core.config import (Config, LossConfig,
+                                                   ModelConfig,
+                                                   OptimizerConfig,
+                                                   TrainingConfig)
+    from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+    from mss_tf_locoformer_tpu.parallel.sharding import tp_shardings
+    from mss_tf_locoformer_tpu.train.state import init_state, make_optimizer
+    from mss_tf_locoformer_tpu.train.step import make_train_step
+
+    cfg = Config(
+        model=ModelConfig(n_fft=128, hop_length=64, n_layers=1, emb_dim=16,
+                          num_groups=4, n_heads=2, attention_dim=16,
+                          ffn_type="swiglu_conv1d", ffn_hidden_dim=32,
+                          flash_attention=True, fused_ffn=True,
+                          fused_stft=False),
+        loss=LossConfig(loss_type="si_sdr"),
+        training=TrainingConfig(optimizer=OptimizerConfig(lr=1e-3)),
+    )
+    model = TFLocoformerMSS(cfg.model)
+    b, t = 2, 1000
+    tx = make_optimizer(cfg.training)
+
+    # shapes are traced BEFORE the mesh activates: init runs batch-1, whose
+    # rows don't divide dp=2 (init itself runs un-TP'd in production too —
+    # params are initialized once, then device_put to the TP shardings)
+    params_sd = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                               jax.ShapeDtypeStruct((1, t), jnp.float32))
+    state_sd = jax.eval_shape(lambda p: init_state(p, tx), params_sd)
+
+    amesh = AbstractMesh((2, 2), ("dp", "mp"))
+    P.set_model_parallel(True, amesh)
+    assert P.tp_fused_mesh() is amesh
+    state_sd = jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        state_sd, tp_shardings(state_sd, amesh))
+    bsh = NamedSharding(amesh, PS("dp"))
+    mix_sd = jax.ShapeDtypeStruct((b, t), jnp.float32, sharding=bsh)
+    stems_sd = {k: jax.ShapeDtypeStruct((b, t), jnp.float32, sharding=bsh)
+                for k in ("vocals", "drums", "bass", "other")}
+
+    step = make_train_step(model, cfg, tx)
+    txt = step.trace(state_sd, mix_sd, stems_sd, 1e-3, jax.random.PRNGKey(1)
+                     ).lower(lowering_platforms=("tpu",)).as_text()
+    # fused attention + FFN kernels, forward AND backward, must be in the
+    # multi-chip program (sub-step fusions may add more)
+    assert txt.count("tpu_custom_call") >= 4
+
+
 # ------------------------------------------------------- module integration
 
 def test_train_step_runs_tp_fused(rng, monkeypatch):
