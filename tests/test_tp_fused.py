@@ -298,6 +298,46 @@ def test_train_step_runs_tp_fused(rng, monkeypatch):
     del mesh
 
 
+def test_tp_inference_through_separation_engine(rng, monkeypatch):
+    """Chunked-OLA separation with the model's fused steps running through
+    the TP wrappers on an mp=2 mesh == the same engine on the single-device
+    fused path (TP serving: model sharded over mp, chunk batch over dp)."""
+    from mss_tf_locoformer_tpu.core.config import ModelConfig
+    from mss_tf_locoformer_tpu.infer.overlap_add import SeparationEngine
+    from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+
+    monkeypatch.setattr(P, "on_tpu", lambda: True)
+    cfg = ModelConfig(n_fft=128, hop_length=64, n_layers=1, emb_dim=16,
+                      num_groups=4, n_heads=2, attention_dim=16,
+                      ffn_type="swiglu_conv1d", ffn_hidden_dim=32,
+                      flash_attention=True, fused_ffn=True, fused_stft=False)
+    model = TFLocoformerMSS(cfg)
+    track = (0.1 * rng.standard_normal(3000)).astype(np.float32)
+
+    mesh = _mp_mesh(2)
+    with _ctx():
+        params = model.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 1024), np.float32))
+        apply_fn = lambda m: model.apply(params, m)
+        eng = SeparationEngine(apply_fn, chunk_samples=1024, overlap=256,
+                               batch_size=2)
+        got = {k: np.asarray(v) for k, v in eng(track).items()}
+
+    P.set_model_parallel(False)
+    assert P.pallas_enabled()
+    with _ctx():
+        eng_sd = SeparationEngine(lambda m: model.apply(params, m),
+                                  chunk_samples=1024, overlap=256,
+                                  batch_size=2)
+        want = {k: np.asarray(v) for k, v in eng_sd(track).items()}
+    assert set(got) == set(want)
+    for k in want:
+        scale = max(np.abs(want[k]).max(), 1e-3)
+        np.testing.assert_allclose(got[k], want[k], atol=2e-4 * scale,
+                                   rtol=2e-3)
+    del mesh
+
+
 def test_block_runs_tp_fused_end_to_end(rng, monkeypatch):
     """LocoformerBlock routes both sub-steps through the TP wrappers under
     an mp mesh and matches the SAME params run through the single-device
