@@ -17,11 +17,33 @@ def parse_args(argv=None):
                    help="Checkpoint directory to resume from")
     p.add_argument("--gpu", type=int, default=None,
                    help="Ignored (TPU devices are auto-discovered)")
+    add_distributed_args(p)
     return p.parse_args(argv)
+
+
+def add_distributed_args(p):
+    """Multi-host flags shared by both training CLIs.  On real TPU pods
+    ``--distributed`` alone suffices (coordinator auto-detected from the
+    pod metadata); explicit flags drive ad-hoc clusters."""
+    p.add_argument("--distributed", action="store_true",
+                   help="Initialize multi-host JAX (one process per host)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (omit on TPU pods)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+
+
+def maybe_init_distributed(args):
+    if args.distributed or args.coordinator_address is not None:
+        from ..parallel.multihost import initialize
+        initialize(coordinator_address=args.coordinator_address,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    maybe_init_distributed(args)
     from ..core.config import load_config
     from ..train.loop import Trainer
 

@@ -13,11 +13,15 @@ def parse_args(argv=None):
                    help="Speech-task YAML (configs/speech_*.yaml)")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--resume", type=str, default=None)
+    from .train import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from .train import maybe_init_distributed
+    maybe_init_distributed(args)
     from ..core.config import load_speech_config
     from ..train.speech import SpeechTrainer
 

@@ -29,7 +29,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 0, collate: Callable = collate_fn,
                  prefetch_factor: int = 2, drop_last: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, shard: Optional[Sequence[int]] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -39,9 +39,19 @@ class DataLoader:
         self.drop_last = drop_last
         self._epoch = 0
         self._seed = seed
+        # (rank, world) multihost shard: equal-count round-robin over the
+        # index space so every process runs the SAME number of batches per
+        # epoch (unequal counts deadlock the per-step collectives).
+        self.shard = tuple(shard) if shard else None
+        if self.shard and not (0 <= self.shard[0] < self.shard[1]):
+            raise ValueError(f"bad shard {shard}")
+
+    def _local_count(self) -> int:
+        n = len(self.dataset)
+        return n // self.shard[1] if self.shard else n
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -50,8 +60,14 @@ class DataLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
+            # shard-independent shuffle: every rank permutes identically,
+            # THEN takes its round-robin slice — shards stay disjoint
             rng = np.random.default_rng(self._seed + self._epoch)
             rng.shuffle(order)
+        if self.shard:
+            rank, world = self.shard
+            order = order[rank::world][:n // world]
+            n = order.shape[0]
         batches = [order[i:i + self.batch_size]
                    for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
@@ -134,17 +150,22 @@ class DataLoader:
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
-    """Keep ``size`` batches resident on device ahead of the consumer."""
+    """Keep ``size`` batches resident on device ahead of the consumer.
+
+    With a (Named)sharding, batches go through
+    :func:`..parallel.multihost.put_global`: on a multi-process mesh each
+    host contributes its LOCAL batch rows to the dp-sharded global batch."""
     import collections
 
     import jax
+
+    from ..parallel.multihost import put_global
 
     buf = collections.deque()
 
     def put(batch):
         if sharding is not None:
-            return jax.tree.map(lambda x: jax.device_put(x, sharding)
-                                if isinstance(x, np.ndarray) else x, batch)
+            return put_global(batch, sharding)
         return jax.tree.map(lambda x: jax.device_put(x)
                             if isinstance(x, np.ndarray) else x, batch)
 

@@ -58,6 +58,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device-put a host batch with the leading axis sharded over dp."""
-    sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    """Device-put a host batch with the leading axis sharded over dp.
+    Multihost-safe: each process contributes its local rows
+    (``parallel/multihost.py``)."""
+    from .multihost import put_global
+    return put_global(tree, batch_sharding(mesh))

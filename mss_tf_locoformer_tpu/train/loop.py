@@ -32,6 +32,7 @@ from ..data.loader import DataLoader
 from ..data.musdb import MUSDBDataset
 from ..models.mss_tflocoformer import TFLocoformerMSS
 from ..parallel import mesh as M
+from ..parallel import multihost as MH
 from ..utils.common import AverageMeter, count_parameters, format_time, set_seed
 from ..utils.profiling import StepProfiler
 from .checkpoint import CheckpointManager
@@ -54,7 +55,11 @@ class Trainer:
     def __init__(self, config: Config, output_dir: Optional[str] = None,
                  resume: Optional[str] = None, verbose: bool = True):
         self.config = config
-        self.verbose = verbose
+        # multi-host: one process per host over a single global mesh; logs,
+        # TensorBoard, and profiler traces come from the coordinator only
+        # (checkpoint save/restore stays all-process — orbax coordinates)
+        self.n_proc = MH.process_count()
+        self.verbose = verbose and MH.is_coordinator()
         set_seed(config.seed)
 
         self.output_dir = output_dir or config.paths.output_dir
@@ -79,18 +84,33 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, config)
 
         dp, mp = config.mesh.axis_sizes(len(jax.devices()))
-        # the global batch must divide over dp; clamp to the largest divisor
-        while dp > 1 and tcfg.batch_size % dp != 0:
-            dp -= 1
+        if self.n_proc > 1:
+            # pods: every process's devices must join the mesh, and every
+            # host must contribute equal dp rows — fail loudly, don't clamp
+            if dp * mp != len(jax.devices()):
+                raise ValueError(
+                    f"multihost mesh {dp}x{mp} must cover all "
+                    f"{len(jax.devices())} devices")
+            if dp % self.n_proc or tcfg.batch_size % dp:
+                raise ValueError(
+                    f"multihost: dp={dp} must be divisible by "
+                    f"{self.n_proc} processes and batch_size="
+                    f"{tcfg.batch_size} by dp")
+        else:
+            # the global batch must divide over dp; clamp to the largest divisor
+            while dp > 1 and tcfg.batch_size % dp != 0:
+                dp -= 1
         self.mesh = M.make_mesh(jax.devices()[:dp * mp], dp=dp, mp=mp)
         self.batch_sharding = M.batch_sharding(self.mesh)
 
         self.ckpt = CheckpointManager(self.ckpt_dir, keep_last=tcfg.keep_last,
                                       save_best=tcfg.save_best)
-        self.writer = make_writer(self.log_dir)
+        self.writer = make_writer(self.log_dir) if MH.is_coordinator() else None
         self._scalars = Scalars(self.writer)
-        self.profiler = StepProfiler(self.log_dir, n_steps=tcfg.profile_steps,
-                                     start_step=tcfg.profile_start_step)
+        self.profiler = StepProfiler(
+            self.log_dir,
+            n_steps=tcfg.profile_steps if MH.is_coordinator() else 0,
+            start_step=tcfg.profile_start_step)
 
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
@@ -121,7 +141,10 @@ class Trainer:
             metadata_cache=dcfg.cache_dir or True,
             precompute_chunks=dcfg.precompute_chunks,
             chunk_hop=dcfg.chunk_hop,
-            verbose=self.verbose, seed=self.config.seed)
+            verbose=self.verbose,
+            # decorrelate chunk/augmentation draws across hosts (identity
+            # for single-process: process_index() == 0)
+            seed=self.config.seed + 7919 * MH.process_index())
         val_ds = MUSDBDataset(
             dcfg.root_dir, subset="test", sample_rate=dcfg.sample_rate,
             segment_length=None, sources=list(dcfg.sources),
@@ -130,11 +153,14 @@ class Trainer:
         return train_ds, val_ds
 
     def init_model(self, example: np.ndarray) -> TrainState:
+        # multihost-safe: init is deterministic in the shared seed (param
+        # values depend only on rng + shapes), so every process replicates
+        # identical values over the global mesh
         params = self.model.init(jax.random.PRNGKey(self.config.seed), example)
         n = count_parameters(params)
         self._log(f"Model parameters: {n / 1e6:.2f} M")
         state = init_state(params, self.tx)
-        return jax.device_put(state, M.replicated(self.mesh))
+        return MH.replicate(self.mesh, state)
 
     # -------------------------------------------------------------- epochs
 
@@ -220,10 +246,18 @@ class Trainer:
         tcfg = self.config.training
         if train_loader is None:
             train_ds, val_ds = self._datasets()
-            train_loader = DataLoader(train_ds, batch_size=tcfg.batch_size,
-                                      shuffle=True, num_workers=tcfg.num_workers,
-                                      prefetch_factor=tcfg.prefetch_factor,
-                                      seed=self.config.seed)
+            # multihost: each process loads its 1/n_proc share of the global
+            # batch from its own round-robin shard of the track list (the
+            # DDP-sampler analogue); validation stays replicated — every
+            # process scores the identical full val set, so the plateau /
+            # early-stop decisions agree without any extra collective
+            train_loader = DataLoader(
+                train_ds, batch_size=MH.local_batch_size(tcfg.batch_size),
+                shuffle=True, num_workers=tcfg.num_workers,
+                prefetch_factor=tcfg.prefetch_factor,
+                seed=self.config.seed, drop_last=self.n_proc > 1,
+                shard=((MH.process_index(), self.n_proc)
+                       if self.n_proc > 1 else None))
             val_loader = DataLoader(val_ds, batch_size=1, shuffle=False,
                                     num_workers=min(2, tcfg.num_workers))
 

@@ -30,6 +30,7 @@ from ..losses.pit import fixed_order_loss, mr_l1_tfd_loss, pit_si_snr_loss
 from ..models.tflocoformer import TFLocoformerSeparator
 from ..ops.stft import istft, stft
 from ..parallel import mesh as M
+from ..parallel import multihost as MH
 from ..utils.common import AverageMeter, count_parameters, format_time, set_seed
 from ..utils.profiling import StepProfiler
 from .checkpoint import CheckpointManager
@@ -102,7 +103,8 @@ class SpeechTrainer:
     def __init__(self, config: SpeechConfig, output_dir: Optional[str] = None,
                  resume: Optional[str] = None, verbose: bool = True):
         self.config = config
-        self.verbose = verbose
+        self.n_proc = MH.process_count()
+        self.verbose = verbose and MH.is_coordinator()
         set_seed(config.seed)
 
         self.output_dir = output_dir or config.paths.output_dir
@@ -120,17 +122,27 @@ class SpeechTrainer:
         self.step_fn, self.eval_fn = make_speech_step(self.module, config, self.tx)
 
         dp, mp = config.mesh.axis_sizes(len(jax.devices()))
-        while dp > 1 and tcfg.batch_size % dp != 0:
-            dp -= 1
+        if self.n_proc > 1:
+            if dp * mp != len(jax.devices()) or dp % self.n_proc \
+                    or tcfg.batch_size % dp:
+                raise ValueError(
+                    f"multihost: mesh {dp}x{mp} must cover all "
+                    f"{len(jax.devices())} devices, dp divisible by "
+                    f"{self.n_proc} processes, batch {tcfg.batch_size} by dp")
+        else:
+            while dp > 1 and tcfg.batch_size % dp != 0:
+                dp -= 1
         self.mesh = M.make_mesh(jax.devices()[:dp * mp], dp=dp, mp=mp)
         self.batch_sharding = M.batch_sharding(self.mesh)
 
         self.ckpt = CheckpointManager(self.ckpt_dir, keep_last=tcfg.keep_last,
                                       save_best=tcfg.save_best)
-        self.writer = make_writer(self.log_dir)
+        self.writer = make_writer(self.log_dir) if MH.is_coordinator() else None
         self._scalars = Scalars(self.writer)
-        self.profiler = StepProfiler(self.log_dir, n_steps=tcfg.profile_steps,
-                                     start_step=tcfg.profile_start_step)
+        self.profiler = StepProfiler(
+            self.log_dir,
+            n_steps=tcfg.profile_steps if MH.is_coordinator() else 0,
+            start_step=tcfg.profile_start_step)
         self.best_val = float("inf")
         self.start_epoch = 0
         self._resume_from = resume
@@ -173,9 +185,15 @@ class SpeechTrainer:
         tcfg = self.config.training
         if train_loader is None:
             train_ds, val_ds = self._datasets()
-            train_loader = DataLoader(train_ds, batch_size=tcfg.batch_size,
-                                      shuffle=True, num_workers=tcfg.num_workers,
-                                      seed=self.config.seed)
+            # multihost: per-process share of the global batch from a
+            # round-robin shard of the utterance list; validation replicated
+            # (see Trainer.fit)
+            train_loader = DataLoader(
+                train_ds, batch_size=MH.local_batch_size(tcfg.batch_size),
+                shuffle=True, num_workers=tcfg.num_workers,
+                seed=self.config.seed, drop_last=self.n_proc > 1,
+                shard=((MH.process_index(), self.n_proc)
+                       if self.n_proc > 1 else None))
             if val_ds is not None:
                 val_loader = DataLoader(val_ds, batch_size=1, shuffle=False)
 
@@ -186,8 +204,7 @@ class SpeechTrainer:
                  self.config.stft.hop_length), -1, -2)
         params = self.module.init(jax.random.PRNGKey(self.config.seed), spec0)
         self._log(f"Separator parameters: {count_parameters(params)/1e6:.2f} M")
-        state = jax.device_put(init_state(params, self.tx),
-                               M.replicated(self.mesh))
+        state = MH.replicate(self.mesh, init_state(params, self.tx))
 
         if self._resume_from:
             state, meta, epoch = self.ckpt.restore(state)

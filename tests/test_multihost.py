@@ -1,0 +1,190 @@
+"""Multi-host (multi-process) execution: ``parallel/multihost.py``.
+
+The reference's only distributed training is 4-GPU DDP via external ESPnet
+(``egs2/*/exp/*/config.yaml:18-26``).  The TPU-pod equivalent here is
+multi-process JAX over one global mesh; these tests run it FOR REAL — two
+subprocesses, each with 2 virtual CPU devices, joined through
+``jax.distributed`` with gloo collectives — not a same-process simulation.
+
+In-process tests cover the pure helpers; the subprocess lane covers
+cross-process batch assembly (loss parity vs a single-process dp=4 run on
+the identical global batch) and a full ``Trainer.fit`` with sharded
+loaders, replicated validation, and all-process orbax checkpoint/resume.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from mss_tf_locoformer_tpu.parallel import multihost as MH
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+# ------------------------------------------------------------ pure helpers
+
+def test_shard_indices_equal_and_disjoint():
+    for n, world in ((10, 2), (11, 3), (4, 4), (3, 4)):
+        shards = []
+        for rank in range(world):
+            start, stop, step = MH.shard_indices(n, rank, world)
+            shards.append(list(range(start, stop, step)))
+        counts = {len(s) for s in shards}
+        assert counts == {n // world}  # equal per-process batch counts
+        flat = [i for s in shards for i in s]
+        assert len(flat) == len(set(flat))  # disjoint
+        assert all(0 <= i < n for i in flat)
+
+
+def test_local_batch_size(monkeypatch):
+    import jax
+    assert MH.local_batch_size(8) == 8  # single process
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert MH.local_batch_size(8) == 2
+    with pytest.raises(ValueError):
+        MH.local_batch_size(6)
+
+
+def test_put_global_single_process_matches_device_put():
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mss_tf_locoformer_tpu.parallel import mesh as M
+
+    mesh = M.make_mesh(jax.devices()[:4], dp=4)
+    sh = NamedSharding(mesh, P("dp"))
+    x = np.arange(16, dtype=np.float32).reshape(4, 4)
+    out = MH.put_global({"x": x, "meta": "keep"}, sh)
+    assert out["meta"] == "keep"
+    np.testing.assert_array_equal(np.asarray(out["x"]), x)
+    assert out["x"].sharding == sh
+    rep = MH.replicate(mesh, {"w": np.ones(3, np.float32)})
+    assert rep["w"].sharding.is_fully_replicated
+
+
+def test_dataloader_shard_equal_disjoint_batches(rng):
+    from mss_tf_locoformer_tpu.data.loader import DataLoader
+
+    class Idx:
+        def __len__(self):
+            return 11
+
+        def __getitem__(self, i):
+            return {"i": np.array([i])}
+
+    seen = []
+    lens = []
+    for rank in range(2):
+        dl = DataLoader(Idx(), batch_size=2, shuffle=True, seed=3,
+                        shard=(rank, 2))
+        batches = list(iter(dl))
+        lens.append(len(batches))
+        seen.extend(int(b["i"][j, 0]) for b in batches
+                    for j in range(b["i"].shape[0]))
+    assert lens[0] == lens[1]  # equal step counts — no collective deadlock
+    assert len(seen) == len(set(seen)) == 10  # disjoint, 11//2*2 items
+
+
+def test_initialize_noop_when_already_up(monkeypatch):
+    import jax
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+
+    def boom(**kw):
+        raise AssertionError("should not re-initialize")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    MH.initialize()  # no raise
+
+
+# -------------------------------------------------------- subprocess lane
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_workers(mode, tmpdir, nproc=2, timeout=600):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("TESTS_ON_TPU", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(pid), str(nproc), str(port), mode,
+         str(tmpdir)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(nproc)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+    return [json.load(open(os.path.join(tmpdir, f"out_{i}.json")))
+            for i in range(nproc)]
+
+
+@pytest.mark.slow
+def test_multiprocess_trainstep_matches_single_process(tmp_path):
+    """2 processes x 2 devices assemble per-host local rows into the dp=4
+    global batch; 3 optimizer steps must match a single-process dp=4 run of
+    the identical global batch (same mesh shape -> same XLA program up to
+    collective transport)."""
+    res = _spawn_workers("trainstep", tmp_path)
+    # both processes observe the identical replicated loss
+    assert res[0]["losses"] == pytest.approx(res[1]["losses"], rel=1e-6)
+    assert res[0]["digest"] == pytest.approx(res[1]["digest"], rel=1e-6)
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    try:
+        from multihost_worker import run_trainstep_reference
+    finally:
+        sys.path.pop(0)
+    want_losses, want_digest = run_trainstep_reference()
+    assert res[0]["losses"] == pytest.approx(want_losses, rel=1e-5)
+    assert res[0]["digest"] == pytest.approx(want_digest, rel=1e-5)
+
+
+@pytest.mark.slow
+def test_multiprocess_trainer_fit_and_resume(tmp_path, rng):
+    """Full Trainer.fit across 2 processes: sharded train loaders (disjoint
+    track shards, equal batch counts), replicated validation (identical
+    best_val on every process), all-process orbax checkpointing, resume."""
+    from mss_tf_locoformer_tpu.data import audio_io
+
+    sr = 8000
+    stems = ("vocals", "drums", "bass", "other")
+    for subset, tracks in (("train", 8), ("test", 1)):
+        for t in range(tracks):
+            d = tmp_path / "musdb" / subset / f"track{t}"
+            d.mkdir(parents=True)
+            n = sr * 1
+            xs = {s: (0.1 * rng.standard_normal((n, 2))).astype(np.float32)
+                  for s in stems}
+            for s, x in xs.items():
+                audio_io.write(str(d / f"{s}.wav"), x, sr, bits=16)
+            audio_io.write(str(d / "mixture.wav"), sum(xs.values()), sr,
+                           bits=16)
+
+    res = _spawn_workers("fit", tmp_path)
+    assert res[0]["best_val"] == pytest.approx(res[1]["best_val"], rel=1e-6)
+    assert np.isfinite(res[0]["best_val"])
+    assert res[0]["step_after_resume"] == res[1]["step_after_resume"]
+    # resumed run kept the best-val bookkeeping
+    assert res[0]["best_val_resumed"] <= res[0]["best_val"] + 1e-9
+    ckpts = os.listdir(tmp_path / "exp" / "checkpoints")
+    assert any(c.isdigit() for c in ckpts) and "best" in ckpts
