@@ -4,6 +4,14 @@ aggregation, optional stem saving, ``results.json``.
 
 Divergence fixed consciously: targets are mono-ized like the mixture (the
 reference compares mono estimates against stereo targets — SURVEY.md §2.5).
+
+Beyond the reference: ``--distributed`` shards the track list across
+multi-host JAX processes (round-robin, tails included — per-track
+separation runs on each process's LOCAL devices only, so unequal shard
+sizes cannot desynchronize any collective).  Partial results land in
+``output_dir`` (shared filesystem, as for checkpoints), one barrier
+synchronizes, and the coordinator merges them into the single
+``results.json`` a single-process run would have written.
 """
 
 from __future__ import annotations
@@ -26,11 +34,15 @@ def parse_args(argv=None):
                    help="Also compute true BSS Eval v3 SDR/SIR/SAR "
                         "(512-tap multi-source decomposition) per track")
     p.add_argument("--bss_filter_len", type=int, default=512)
+    from .train import add_distributed_args
+    add_distributed_args(p)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from .train import maybe_init_distributed
+    maybe_init_distributed(args)
     import numpy as np
 
     from ..core.config import load_config
@@ -52,9 +64,15 @@ def main(argv=None):
                          sample_rate=dcfg.sample_rate,
                          batch_size=args.batch_size)
 
+    from ..parallel import multihost as MH
+    rank, world = MH.process_index(), MH.process_count()
+
     os.makedirs(args.output_dir, exist_ok=True)
     per_track = {}
-    for i in range(len(ds)):
+    # round-robin track shard, tails INCLUDED: each track separates on this
+    # process's local devices alone, so unequal shard sizes are safe here
+    # (unlike training, where they would desynchronize per-step collectives)
+    for i in range(rank, len(ds), world):
         sample = ds[i]
         name = sample.get("track_name", f"track{i}")
         mixture = np.asarray(sample["mixture"]).mean(axis=0)  # stereo -> mono
@@ -80,19 +98,44 @@ def main(argv=None):
                 save_audio(os.path.join(tdir, f"{stem}.wav"),
                            np.stack([est, est]), dcfg.sample_rate)
 
-    stems_seen = sorted({s for r in per_track.values() for s in r})
-    summary = {}
-    for s in stems_seen:
-        names = sorted({m for r in per_track.values() for m in r.get(s, {})})
-        summary[s] = {
-            m: float(np.mean([r[s][m] for r in per_track.values()
-                              if s in r and m in r[s]]))
-            for m in names}
-    print("\n=== mean over tracks ===")
-    print_metrics(summary)
-    save_json({"per_track": per_track, "summary": summary},
-              os.path.join(args.output_dir, "results.json"))
-    print(f"Wrote {os.path.join(args.output_dir, 'results.json')}")
+    if world > 1:
+        # shared-filesystem gather (the same contract orbax checkpointing
+        # already requires): write the shard, barrier, coordinator merges
+        from jax.experimental import multihost_utils
+        shard_path = os.path.join(args.output_dir, f"_partial_rank{rank}.json")
+        save_json(per_track, shard_path)
+        multihost_utils.sync_global_devices("evaluate_gather")
+        if rank == 0:
+            import json
+            per_track = {}
+            for r in range(world):
+                p = os.path.join(args.output_dir, f"_partial_rank{r}.json")
+                with open(p) as f:
+                    per_track.update(json.load(f))
+                os.remove(p)
+
+    if rank == 0:
+        stems_seen = sorted({s for r in per_track.values() for s in r})
+        summary = {}
+        for s in stems_seen:
+            names = sorted({m for r in per_track.values()
+                            for m in r.get(s, {})})
+            summary[s] = {
+                m: float(np.mean([r[s][m] for r in per_track.values()
+                                  if s in r and m in r[s]]))
+                for m in names}
+        print("\n=== mean over tracks ===")
+        print_metrics(summary)
+        save_json({"per_track": per_track, "summary": summary},
+                  os.path.join(args.output_dir, "results.json"))
+        print(f"Wrote {os.path.join(args.output_dir, 'results.json')}")
+
+    if world > 1:
+        # second barrier AFTER the coordinator's write: no rank (nor any
+        # per-host automation sequenced after it) observes completion
+        # before results.json exists
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("evaluate_done")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,13 @@ def maybe_init_distributed(args):
         initialize(coordinator_address=args.coordinator_address,
                    num_processes=args.num_processes,
                    process_id=args.process_id)
+    elif args.num_processes is not None or args.process_id is not None:
+        # rank flags without --distributed/--coordinator_address would
+        # otherwise silently run N INDEPENDENT single-process jobs against
+        # the same output_dir
+        raise SystemExit(
+            "--num_processes/--process_id require --distributed "
+            "(TPU pod auto-detection) or --coordinator_address host:port")
 
 
 def main(argv=None):

@@ -63,6 +63,14 @@ class SeparationEngine:
 
     def __call__(self, audio: np.ndarray) -> Dict[str, np.ndarray]:
         """audio ``[T]`` (mono) -> dict of stems ``[T]``."""
+        # trace/execute under THIS engine's mesh gating (or single-device
+        # gating when unsharded) — the module-global gate may reflect some
+        # other component's mesh (parallel/mesh.py:activate_mesh)
+        from ..parallel.mesh import activate_mesh
+        with activate_mesh(getattr(self.sharding, "mesh", None)):
+            return self._separate(audio)
+
+    def _separate(self, audio: np.ndarray) -> Dict[str, np.ndarray]:
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim != 1:
             raise ValueError(f"expected mono [T], got {audio.shape}")

@@ -60,6 +60,12 @@ def model_parallel_active() -> bool:
     return _MP_ACTIVE
 
 
+def model_parallel_state():
+    """Snapshot of (active, mesh) — lets ``parallel.mesh.activate_mesh``
+    save/restore around a scope instead of trusting last-call-wins."""
+    return _MP_ACTIVE, _TP_MESH
+
+
 def force_tp_fused_for_testing(force: bool) -> None:
     """Let CPU tests exercise the shard_map-wrapped TP kernels (inside
     ``pltpu.force_tpu_interpret_mode``) without enabling every other fused

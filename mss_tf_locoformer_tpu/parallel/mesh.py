@@ -15,13 +15,15 @@ Axes:
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "local_mesh"]
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+           "local_mesh", "activate_mesh"]
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -46,6 +48,30 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 def local_mesh() -> Mesh:
     """Mesh over all visible devices (single-chip -> trivial 1x1 mesh)."""
     return make_mesh()
+
+
+@contextlib.contextmanager
+def activate_mesh(mesh: Optional[Mesh]):
+    """Re-assert ``mesh``'s model-parallel gating for traces in this scope.
+
+    ``make_mesh`` records its mesh in process-global state (the common
+    one-mesh-per-process case), but that state is last-call-wins: a later
+    ``make_mesh``/``local_mesh`` from any other component would silently
+    flip the Pallas gate for code still tracing against an earlier mesh —
+    single-device fused kernels under an mp>1 mesh (Mosaic partitioning
+    error), or TP wrappers under a dp-only one.  The trainers and the
+    separation engine wrap their trace/execute scopes in this context so
+    the gate always reflects the mesh actually in use; prior state is
+    restored on exit.  ``None`` asserts single-device gating (no mesh).
+    """
+    from ..ops.pallas import model_parallel_state, set_model_parallel
+    prev_active, prev_mesh = model_parallel_state()
+    mp = int(mesh.shape.get("mp", 1)) if mesh is not None else 1
+    set_model_parallel(mp > 1, mesh if mp > 1 else None)
+    try:
+        yield mesh
+    finally:
+        set_model_parallel(prev_active, prev_mesh)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -60,12 +60,19 @@ from ..ops.pallas.swiglu_block import fused_norm_ffn_residual
 __all__ = ["tp_attention_step", "tp_ffn_step"]
 
 
-# golden-ratio odd word folds the LINEAR shard index (over dp AND mp) into
-# the dropout seed: mp shards hold different heads/channels and dp shards
-# hold different rows, but the in-kernel mask generators index by LOCAL
+# odd word folding the LINEAR shard index (over dp AND mp) into the
+# dropout seed: mp shards hold different heads/channels and dp shards hold
+# different rows, but the in-kernel mask generators index by LOCAL
 # row/head, so an unfolded seed would replay identical masks at different
-# global positions
-_SHARD_SEED_STRIDE = -1640531527  # 0x9E3779B9 as int32
+# global positions.  Deliberately NOT the golden-ratio word the in-kernel
+# generators stride their (tile, head, subtile) indices by — with the same
+# constant, shard idx+1 at tile t would reproduce shard idx's tile t+1
+# seed exactly (idx*G + (t+1)*G == idx'*G + (t'+1)*G whenever
+# idx + t == idx' + t'), i.e. bit-identical masks at shifted positions.
+# With a distinct odd word A, a collision needs t' - t == (idx - idx') *
+# A * G^-1 (mod 2^32) == (idx - idx') * 0x4799E743 — >1.2e9 even for
+# adjacent shards, far beyond any tile/head index range.
+_SHARD_SEED_STRIDE = -2048144789  # 0x85EBCA6B as int32 (murmur3 c2)
 
 
 def _local_seed(seed, mp: int):

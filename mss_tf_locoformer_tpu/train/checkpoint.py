@@ -46,16 +46,17 @@ class CheckpointManager:
         if is_best and self.save_best:
             best = ocp.StandardCheckpointer()
             path = os.path.join(self._best_dir, "state")
-            if os.path.exists(path):
-                # multihost: one process clears the stale dir, all wait for
-                # it before the (orbax-coordinated) save — an all-process
-                # rmtree would race on the shared filesystem
-                if jax.process_index() == 0:
-                    import shutil
-                    shutil.rmtree(path)
-                if jax.process_count() > 1:
-                    from jax.experimental import multihost_utils
-                    multihost_utils.sync_global_devices("ckpt_best_clear")
+            # multihost: the coordinator alone clears any stale dir, and
+            # the barrier is UNCONDITIONAL — an all-process rmtree would
+            # race on the shared filesystem, and keying barrier entry on
+            # each process's own exists() would deadlock the pod whenever
+            # metadata caching (NFS/gcsfuse) gives hosts divergent views
+            if jax.process_index() == 0 and os.path.exists(path):
+                import shutil
+                shutil.rmtree(path)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("ckpt_best_clear")
             best.save(path, state)
             best.wait_until_finished()
 

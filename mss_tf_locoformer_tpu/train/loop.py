@@ -190,6 +190,10 @@ class Trainer:
             scalars=self._scalars)
 
     def validate(self, state, loader) -> float:
+        with M.activate_mesh(self.mesh):
+            return self._validate(state, loader)
+
+    def _validate(self, state, loader) -> float:
         """Chunked validation: every track is cut into fixed-length
         non-overlapping segments and scored in fixed-size groups, so at most
         two XLA programs (full group + one ragged tail group) serve the whole
@@ -208,7 +212,11 @@ class Trainer:
             mixture = np.stack(buf_mix)
             targets = {k: np.stack([t[k] for t in buf_tgt])
                        for k in buf_tgt[0]}
-            ld = self.eval_step(state.params, mixture, targets)
+            # per-chunk weighting happens INSIDE the eval step (weighted
+            # mean of per-sample losses) — a batch-mean rescaled on the
+            # host would give a mostly-padding tail a full 1/group share
+            ld = self.eval_step(state.params, mixture, targets,
+                                weights=np.asarray(buf_w, np.float32))
             meter.update(float(ld["total_loss"]), sum(buf_w))
             buf_mix.clear()
             buf_tgt.clear()
@@ -243,6 +251,13 @@ class Trainer:
     # ---------------------------------------------------------------- main
 
     def fit(self, train_loader=None, val_loader=None) -> TrainState:
+        # re-assert THIS trainer's mesh for every trace in the fit scope —
+        # the module-global gate set by make_mesh is last-call-wins
+        # (parallel/mesh.py:activate_mesh)
+        with M.activate_mesh(self.mesh):
+            return self._fit(train_loader, val_loader)
+
+    def _fit(self, train_loader=None, val_loader=None) -> TrainState:
         tcfg = self.config.training
         if train_loader is None:
             train_ds, val_ds = self._datasets()

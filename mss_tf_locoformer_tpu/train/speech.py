@@ -182,6 +182,12 @@ class SpeechTrainer:
             yield {"mixture": mix, "sources": src}
 
     def fit(self, train_loader=None, val_loader=None) -> TrainState:
+        # re-assert THIS trainer's mesh for every trace in the fit scope
+        # (parallel/mesh.py:activate_mesh)
+        with M.activate_mesh(self.mesh):
+            return self._fit(train_loader, val_loader)
+
+    def _fit(self, train_loader=None, val_loader=None) -> TrainState:
         tcfg = self.config.training
         if train_loader is None:
             train_ds, val_ds = self._datasets()

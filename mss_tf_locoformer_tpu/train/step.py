@@ -117,6 +117,16 @@ def make_train_step(model, cfg: Config, tx) -> Callable:
 
 
 def make_eval_step(model, cfg: Config) -> Callable:
+    """Returns ``step(params, mixture, targets, weights=None) -> loss_dict``.
+
+    Without ``weights`` the dict holds the plain batch-mean losses.  With a
+    ``[B]`` weight vector, every entry is the weighted mean of PER-SAMPLE
+    losses (``sum_i w_i * loss_i / sum_i w_i``) — what chunked validation
+    needs when a group mixes full chunks with zero-padded tails (a
+    batch-mean scaled by the summed weights would give every chunk an equal
+    1/B share regardless of its valid fraction).  The forward runs once on
+    the full batch either way; only the cheap loss reduction is vmapped.
+    """
     loss_fn = functools.partial(_loss_fn, model, cfg.loss)
 
     @jax.jit
@@ -124,4 +134,19 @@ def make_eval_step(model, cfg: Config) -> Callable:
         _, ld = loss_fn(params, mixture, targets, None, False)
         return ld
 
-    return step
+    @jax.jit
+    def weighted_step(params, mixture, targets, weights):
+        preds = model.apply(params, mixture, deterministic=True)
+        per = jax.vmap(lambda p, t: mss_loss(
+            jax.tree.map(lambda x: x[None], p),
+            jax.tree.map(lambda x: x[None], t), cfg.loss))(preds, targets)
+        w = weights.astype(jnp.float32)
+        w = w / jnp.sum(w)
+        return jax.tree.map(lambda v: jnp.sum(v * w), per)
+
+    def dispatch(params, mixture, targets, weights=None):
+        if weights is None:
+            return step(params, mixture, targets)
+        return weighted_step(params, mixture, targets, jnp.asarray(weights))
+
+    return dispatch

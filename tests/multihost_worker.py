@@ -149,6 +149,55 @@ def mode_fit(jax, pid, tmpdir):
                    "step_after_resume": step_after}, f)
 
 
+def mode_fit_speech(jax, pid, tmpdir):
+    from mss_tf_locoformer_tpu.core.config import (MeshConfig,
+                                                   OptimizerConfig,
+                                                   PathsConfig,
+                                                   SeparatorConfig,
+                                                   SpeechConfig,
+                                                   SpeechDatasetConfig,
+                                                   SpeechLossConfig,
+                                                   STFTConfig,
+                                                   TrainingConfig)
+    from mss_tf_locoformer_tpu.train.speech import SpeechTrainer
+
+    root = os.path.join(tmpdir, "speech")
+    cfg = SpeechConfig(
+        dataset=SpeechDatasetConfig(root_dir=root, valid_dir=root,
+                                    sample_rate=8000, segment_length=2000,
+                                    num_spk=2),
+        separator=SeparatorConfig(num_spk=2, n_layers=1, emb_dim=16,
+                                  num_groups=4, n_heads=2, attention_dim=16,
+                                  ffn_hidden_dim=32),
+        stft=STFTConfig(n_fft=128, hop_length=64),
+        loss=SpeechLossConfig(criterion="si_snr", wrapper="pit"),
+        training=TrainingConfig(batch_size=4, num_epochs=1, num_workers=0,
+                                save_interval=1, val_interval=1,
+                                log_interval=1, use_amp=False,
+                                optimizer=OptimizerConfig(lr=1e-3)),
+        paths=PathsConfig(output_dir=os.path.join(tmpdir, "exp_speech")),
+        mesh=MeshConfig(dp=4, mp=1), seed=0)
+    trainer = SpeechTrainer(cfg, verbose=pid == 0)
+    assert trainer.n_proc == 2
+    state = trainer.fit()
+    with open(os.path.join(tmpdir, f"out_{pid}.json"), "w") as f:
+        json.dump({"best_val": trainer.best_val, "step": int(state.step)}, f)
+
+
+def mode_evaluate(jax, pid, tmpdir):
+    from mss_tf_locoformer_tpu.cli import evaluate as E
+
+    out = os.path.join(tmpdir, "eval_out")
+    E.main(["--config", os.path.join(tmpdir, "eval.yaml"),
+            "--checkpoint", os.path.join(tmpdir, "ckpt"),
+            "--output_dir", out, "--chunk_seconds", "0.25",
+            "--overlap_seconds", "0.05", "--batch_size", "1"])
+    results = os.path.join(out, "results.json")
+    with open(os.path.join(tmpdir, f"out_{pid}.json"), "w") as f:
+        json.dump({"rank": pid,
+                   "results_exists": os.path.exists(results)}, f)
+
+
 def main():
     pid, nproc, port, mode, tmpdir = (int(sys.argv[1]), int(sys.argv[2]),
                                       sys.argv[3], sys.argv[4], sys.argv[5])
@@ -157,6 +206,10 @@ def main():
         mode_trainstep(jax, pid, tmpdir)
     elif mode == "fit":
         mode_fit(jax, pid, tmpdir)
+    elif mode == "fit_speech":
+        mode_fit_speech(jax, pid, tmpdir)
+    elif mode == "evaluate":
+        mode_evaluate(jax, pid, tmpdir)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(f"worker {pid} mode {mode}: OK", flush=True)

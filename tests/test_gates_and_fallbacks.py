@@ -207,7 +207,7 @@ def test_validation_counts_track_tails(tmp_path, rng):
 
     losses = iter([2.0, 4.0, 8.0])
 
-    def fake_eval(params, mixture, targets):
+    def fake_eval(params, mixture, targets, weights=None):
         return {"total_loss": next(losses)}
 
     trainer.eval_step = fake_eval

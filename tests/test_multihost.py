@@ -90,6 +90,21 @@ def test_dataloader_shard_equal_disjoint_batches(rng):
     assert len(seen) == len(set(seen)) == 10  # disjoint, 11//2*2 items
 
 
+def test_rank_flags_without_distributed_raise():
+    """--num_processes/--process_id without --distributed or a coordinator
+    must fail loudly — silently running N independent jobs against one
+    output_dir is the failure mode being prevented."""
+    from mss_tf_locoformer_tpu.cli.train import (maybe_init_distributed,
+                                                 parse_args)
+
+    args = parse_args(["--config", "x.yaml", "--num_processes", "2"])
+    with pytest.raises(SystemExit):
+        maybe_init_distributed(args)
+    args = parse_args(["--config", "x.yaml", "--process_id", "1"])
+    with pytest.raises(SystemExit):
+        maybe_init_distributed(args)
+
+
 def test_initialize_noop_when_already_up(monkeypatch):
     import jax
     monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
@@ -157,6 +172,95 @@ def test_multiprocess_trainstep_matches_single_process(tmp_path):
     want_losses, want_digest = run_trainstep_reference()
     assert res[0]["losses"] == pytest.approx(want_losses, rel=1e-5)
     assert res[0]["digest"] == pytest.approx(want_digest, rel=1e-5)
+
+
+@pytest.mark.slow
+def test_multiprocess_speech_fit(tmp_path, rng):
+    """SpeechTrainer across 2 processes: sharded utterance loaders, PIT
+    loss, replicated validation — same guarantees as the MSS trainer."""
+    from mss_tf_locoformer_tpu.data import audio_io
+
+    sr = 8000
+    root = tmp_path / "speech"
+    for d in ("mix", "s1", "s2"):
+        (root / d).mkdir(parents=True)
+    for u in range(8):
+        s1 = (0.1 * rng.standard_normal(sr)).astype(np.float32)
+        s2 = (0.1 * rng.standard_normal(sr)).astype(np.float32)
+        audio_io.write(str(root / "s1" / f"utt{u}.wav"), s1[:, None], sr,
+                       bits=16)
+        audio_io.write(str(root / "s2" / f"utt{u}.wav"), s2[:, None], sr,
+                       bits=16)
+        audio_io.write(str(root / "mix" / f"utt{u}.wav"), (s1 + s2)[:, None],
+                       sr, bits=16)
+
+    res = _spawn_workers("fit_speech", tmp_path)
+    assert res[0]["best_val"] == pytest.approx(res[1]["best_val"], rel=1e-6)
+    assert np.isfinite(res[0]["best_val"])
+    assert res[0]["step"] == res[1]["step"] == 2  # 8 utts / (2 proc * bs 4)
+
+
+@pytest.mark.slow
+def test_multiprocess_evaluate_cli(tmp_path, rng):
+    """Distributed evaluation: 3 tracks round-robin over 2 processes
+    (unequal shards), shared-fs gather, coordinator merges results.json
+    covering every track."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from mss_tf_locoformer_tpu.data import audio_io
+    from mss_tf_locoformer_tpu.models.mss_tflocoformer import TFLocoformerMSS
+
+    sr = 8000
+    stems = ("vocals", "drums", "bass", "other")
+    for t in range(3):
+        d = tmp_path / "musdb" / "test" / f"track{t}"
+        d.mkdir(parents=True)
+        xs = {s: (0.1 * rng.standard_normal((sr, 2))).astype(np.float32)
+              for s in stems}
+        for s, x in xs.items():
+            audio_io.write(str(d / f"{s}.wav"), x, sr, bits=16)
+        audio_io.write(str(d / "mixture.wav"), sum(xs.values()), sr, bits=16)
+
+    (tmp_path / "eval.yaml").write_text(f"""
+model:
+  n_fft: 256
+  hop_length: 128
+  n_layers: 1
+  emb_dim: 16
+  num_groups: 4
+  n_heads: 2
+  attention_dim: 16
+  ffn_type: swiglu_conv1d
+  ffn_hidden_dim: 32
+dataset:
+  root_dir: {tmp_path / 'musdb'}
+  sample_rate: {sr}
+  sources: [vocals, drums, bass, other]
+""")
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    try:
+        from multihost_worker import _tiny_model_cfg
+    finally:
+        sys.path.pop(0)
+    model = TFLocoformerMSS(_tiny_model_cfg())
+    params = jax.device_get(model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 4096), np.float32)))
+    ck = ocp.StandardCheckpointer()
+    ck.save(str(tmp_path / "ckpt"), params, force=True)
+    ck.wait_until_finished()
+
+    res = _spawn_workers("evaluate", tmp_path)
+    assert res[0]["results_exists"] and res[1]["results_exists"]
+    with open(tmp_path / "eval_out" / "results.json") as f:
+        merged = json.load(f)
+    assert sorted(merged["per_track"]) == ["track0", "track1", "track2"]
+    for r in merged["per_track"].values():
+        assert np.isfinite(r["average"]["si_sdr"])
+    assert np.isfinite(merged["summary"]["vocals"]["si_sdr"])
+    # no partial shards left behind
+    assert not [p for p in os.listdir(tmp_path / "eval_out")
+                if p.startswith("_partial")]
 
 
 @pytest.mark.slow

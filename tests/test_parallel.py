@@ -20,6 +20,26 @@ def test_mesh_construction():
     assert mesh2.shape["dp"] == 4 and mesh2.shape["mp"] == 2
 
 
+def test_activate_mesh_scopes_the_mp_gate():
+    """make_mesh's module-global gate is last-call-wins; activate_mesh must
+    re-assert (and restore) the gating of the mesh actually in use."""
+    from mss_tf_locoformer_tpu.ops.pallas import (model_parallel_active,
+                                                  model_parallel_state)
+
+    mp_mesh = M.make_mesh(dp=4, mp=2)
+    assert model_parallel_active()
+    M.make_mesh()  # dp-only from some other component: gate silently clears
+    assert not model_parallel_active()
+    with M.activate_mesh(mp_mesh):
+        assert model_parallel_active()
+        assert model_parallel_state()[1] is mp_mesh
+        with M.activate_mesh(None):  # nested single-device scope
+            assert not model_parallel_active()
+        assert model_parallel_active()
+    assert not model_parallel_active()  # prior (dp-only) state restored
+    M.make_mesh()  # leave the suite in the default dp-only state
+
+
 def test_sharded_train_step(rng):
     cfg = Config(
         model=ModelConfig(n_fft=256, hop_length=128, n_layers=1, emb_dim=16,

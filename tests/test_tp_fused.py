@@ -106,6 +106,27 @@ def test_tp_ffn_forward_parity(rng, mp):
 
 # ---------------------------------------------------------------- gradients
 
+def test_shard_seed_stride_avoids_in_kernel_collisions():
+    """The shard fold must NOT reuse the golden-ratio stride the in-kernel
+    generators mix (tile, head, q-subtile) indices with: with the same
+    constant, shard idx+1 at tile t replays shard idx's tile t+1 mask
+    bit-for-bit.  Assert the per-(shard, tile) seed words stay pairwise
+    distinct across realistic index ranges."""
+    from mss_tf_locoformer_tpu.parallel.tp_fused import _SHARD_SEED_STRIDE
+
+    g = int(AB._PROB_TILE_STRIDE) & 0xFFFFFFFF
+    a = int(_SHARD_SEED_STRIDE) & 0xFFFFFFFF
+    assert a != g
+    assert int(SB._TILE_SEED_STRIDE) & 0xFFFFFFFF == g  # both kernels use G
+    shards = np.arange(16, dtype=np.int64)       # dp*mp shard indices
+    tiles = np.arange(1, 8193, dtype=np.int64)   # (t+1)/head*1024+qt mixes
+    seeds = (shards[:, None] * a + tiles[None, :] * g) % (1 << 32)
+    assert np.unique(seeds).size == seeds.size
+    # the old (collision) choice fails this: same stride for both folds
+    bad = (shards[:, None] * g + tiles[None, :] * g) % (1 << 32)
+    assert np.unique(bad).size < bad.size
+
+
 def test_tp_attention_grad_parity(rng):
     """All four cotangents through shard_map + psum + the fused backward
     kernel vs jax.vjp of the unfused reference (residual=False mode)."""

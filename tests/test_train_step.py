@@ -88,6 +88,33 @@ def test_eval_step(rng):
     assert np.isfinite(float(ld["total_loss"]))
 
 
+def test_eval_step_weighted_is_per_sample(rng):
+    """With weights, the eval step must return the weighted mean of
+    PER-SAMPLE losses (sum w_i l_i / sum w_i) — not the batch mean rescaled
+    — so a mostly-padding validation tail chunk can't claim a full 1/B
+    share of a mixed group."""
+    cfg = tiny_config()
+    model = TFLocoformerMSS(cfg.model)
+    mixture, targets = synth_batch(rng, b=2)
+    # make sample 1 a zero-padded tail: markedly different loss from 0
+    mixture[1, 500:] = 0.0
+    for v in targets.values():
+        v[1, 500:] = 0.0
+    params = model.init(jax.random.PRNGKey(0), mixture[:1])
+    step = make_eval_step(model, cfg)
+
+    l0 = float(step(params, mixture[:1],
+                    {k: v[:1] for k, v in targets.items()})["total_loss"])
+    l1 = float(step(params, mixture[1:],
+                    {k: v[1:] for k, v in targets.items()})["total_loss"])
+    w = np.array([1.0, 0.25], np.float32)
+    got = float(step(params, mixture, targets, weights=w)["total_loss"])
+    want = (w[0] * l0 + w[1] * l1) / w.sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # and it must differ from the rescaled batch mean whenever l0 != l1
+    assert abs(got - (l0 + l1) / 2) > 1e-6
+
+
 def test_plateau_controller():
     sched = SchedulerConfig(factor=0.5, patience=2, min_lr=1e-7, cooldown=1)
     ctl = ReduceLROnPlateau(sched, base_lr=1e-3)

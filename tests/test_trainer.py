@@ -132,9 +132,9 @@ def test_chunked_validation_bounded_shapes(musdb_root, tmp_path, rng):
     shapes = []
     orig = trainer.eval_step
 
-    def spy(params, mixture, targets):
+    def spy(params, mixture, targets, weights=None):
         shapes.append(tuple(mixture.shape))
-        return orig(params, mixture, targets)
+        return orig(params, mixture, targets, weights=weights)
 
     trainer.eval_step = spy
 
