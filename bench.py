@@ -9,10 +9,10 @@ Baseline: the reference documents 1.5x realtime for the base config on an
 RTX 5090 (README.md:360-368 / CONFIGS_COMPARISON.md; see BASELINE.md).
 ``vs_baseline`` = measured RTF / 1.5.
 
-Prints the canonical JSON line LAST ({"metric", "value", "unit",
-"vs_baseline"} — the driver parses the final line), preceded by a secondary
-training-step line (base config, batch 2, 3 s, dropout 0.1, per-block
-remat — the PERFORMANCE.md training shape).  Reference training baseline:
+Stdout carries exactly ONE JSON line ({"metric", "value", "unit",
+"vs_baseline"} — what the driver parses); a secondary training-step metric
+(base config, batch 2, 3 s, dropout 0.1 — the PERFORMANCE.md training
+shape) goes to stderr.  Reference training baseline:
 their docs predict 25 min/epoch on an RTX 5090 at batch 1 (~86 tracks x
 ~40 chunks -> ~0.44 s per batch-1 step; ours is batch 2, so ``vs_baseline``
 = (2/step_s) / (1/0.44) chunk-throughput ratio.
@@ -72,7 +72,10 @@ def main():
 
     train_line = _bench_train_step(cfg, mixture[:2], samples)
     if train_line:
-        print(train_line)  # secondary metric first; canonical line LAST
+        # secondary metric on STDERR: stdout carries exactly the ONE
+        # canonical JSON line the driver parses
+        import sys
+        print(train_line, file=sys.stderr)
     print(json.dumps({
         "metric": "separation_rtf_base_config",
         "value": round(rtf, 3),

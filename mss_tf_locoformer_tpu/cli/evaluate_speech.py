@@ -25,15 +25,14 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
-    import jax
     import numpy as np
 
     from ..core.config import load_speech_config
     from ..data.speech import SpeechMixtureDataset
     from ..eval.metrics import compute_sdr, compute_si_sdr
     from ..eval.stoi import compute_stoi
+    from ..infer.separate import load_speech_separator
     from ..models.espnet_compat import SpeechSeparator
-    from ..models.tflocoformer import TFLocoformerSeparator
     from ..utils.common import save_json
 
     cfg = load_speech_config(args.config)
@@ -44,25 +43,7 @@ def main(argv=None):
                               segment_length=None,
                               sample_rate=cfg.dataset.sample_rate)
 
-    module = TFLocoformerSeparator(**cfg.separator.module_kwargs())
-    if args.checkpoint.endswith((".pth", ".pt", ".ckpt")):
-        from ..convert.torch_ckpt import convert_state_dict, load_torch_checkpoint
-        params = convert_state_dict(load_torch_checkpoint(args.checkpoint))
-    else:
-        import orbax.checkpoint as ocp
-        import jax.numpy as jnp
-        from ..ops.stft import stft
-        dummy = jnp.swapaxes(stft(np.zeros((1, cfg.stft.n_fft * 4), np.float32),
-                                  cfg.stft.n_fft, cfg.stft.hop_length), -1, -2)
-        template = jax.eval_shape(
-            lambda: module.init(jax.random.PRNGKey(0), dummy))
-        ckptr = ocp.StandardCheckpointer()
-        try:
-            params = ckptr.restore(args.checkpoint, template)
-        except Exception:
-            state = ckptr.restore(os.path.join(args.checkpoint, "state"), None)
-            params = state["params"] if "params" in state else state
-
+    module, params = load_speech_separator(args.checkpoint, cfg)
     pipe = SpeechSeparator(module, params, n_fft=cfg.stft.n_fft,
                            hop_length=cfg.stft.hop_length)
     sr = cfg.dataset.sample_rate

@@ -28,7 +28,8 @@ from ..models.mss_tflocoformer import TFLocoformerMSS
 from ..utils.audio import load_audio, save_audio
 from .overlap_add import SeparationEngine
 
-__all__ = ["load_model", "separate_audio", "make_engine"]
+__all__ = ["load_model", "separate_audio", "make_engine",
+           "load_speech_separator"]
 
 
 def load_model(checkpoint_path: str, config_path: Optional[str] = None,
@@ -65,6 +66,43 @@ def load_model(checkpoint_path: str, config_path: Optional[str] = None,
     else:
         raise FileNotFoundError(f"Unsupported checkpoint: {checkpoint_path}")
     return model, params, cfg
+
+
+def load_speech_separator(checkpoint_path: str, cfg):
+    """Speech-family analogue of :func:`load_model`: build the
+    ``TFLocoformerSeparator`` from a ``SpeechConfig`` and load either an
+    orbax checkpoint (bare params, or the trainer's ``state`` dir) or a
+    torch ``.pth`` (ESPnet ``separator.``-prefixed or raw state_dict) —
+    the two layouts the reference's pretrained speech models ship in
+    (``egs2/*/enh1/exp/*/valid.loss.ave_5best.pth``).  Returns
+    ``(module, params)``."""
+    from ..models.tflocoformer import TFLocoformerSeparator
+
+    module = TFLocoformerSeparator(**cfg.separator.module_kwargs())
+    if checkpoint_path.endswith((".pth", ".pt", ".ckpt")):
+        from ..convert.torch_ckpt import (convert_state_dict,
+                                          load_torch_checkpoint)
+        params = convert_state_dict(load_torch_checkpoint(checkpoint_path))
+    elif os.path.isdir(checkpoint_path):
+        import jax.numpy as jnp
+        import orbax.checkpoint as ocp
+
+        from ..ops.stft import stft
+        dummy = jnp.swapaxes(
+            stft(np.zeros((1, cfg.stft.n_fft * 4), np.float32),
+                 cfg.stft.n_fft, cfg.stft.hop_length), -1, -2)
+        template = jax.eval_shape(
+            lambda: module.init(jax.random.PRNGKey(0), dummy))
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            params = ckptr.restore(checkpoint_path, template)
+        except Exception:
+            state = ckptr.restore(os.path.join(checkpoint_path, "state"),
+                                  None)
+            params = state["params"] if "params" in state else state
+    else:
+        raise FileNotFoundError(f"Unsupported checkpoint: {checkpoint_path}")
+    return module, params
 
 
 def make_engine(model: TFLocoformerMSS, params, chunk_seconds: float = 8.0,

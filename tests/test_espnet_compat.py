@@ -41,6 +41,51 @@ def test_adapter_contract(sep_and_params, rng):
     assert isinstance(others, OrderedDict)
 
 
+def test_separate_speech_cli(sep_and_params, rng, tmp_path):
+    """mss-separate-speech end-to-end: orbax params checkpoint + YAML ->
+    per-speaker WAVs at the mixture's length, length-bucketed."""
+    import orbax.checkpoint as ocp
+
+    from mss_tf_locoformer_tpu.cli.separate_speech import main
+    from mss_tf_locoformer_tpu.utils.audio import load_audio, save_audio
+
+    model, params = sep_and_params
+    ck = ocp.StandardCheckpointer()
+    ck.save(str(tmp_path / "ckpt"), jax.device_get(params), force=True)
+    ck.wait_until_finished()
+
+    sr = 8000
+    (tmp_path / "cfg.yaml").write_text("""
+task: speech_separation
+dataset: {root_dir: /nonexistent, num_spk: 2, sample_rate: 8000}
+stft: {n_fft: 64, hop_length: 32}
+separator:
+  num_spk: 2
+  n_layers: 1
+  emb_dim: 16
+  num_groups: 4
+  n_heads: 2
+  attention_dim: 16
+  ffn_type: swiglu_conv1d
+  ffn_hidden_dim: 32
+""")
+    t = sr + 123  # not a bucket multiple: exercises pad + crop
+    mix = (0.1 * rng.standard_normal(t)).astype(np.float32)
+    save_audio(str(tmp_path / "mix.wav"), mix, sr, normalize=False)
+
+    main(["--config", str(tmp_path / "cfg.yaml"),
+          "--checkpoint", str(tmp_path / "ckpt"),
+          "--input", str(tmp_path / "mix.wav"),
+          "--output_dir", str(tmp_path / "out"),
+          "--bucket_seconds", "0.5"])
+
+    for s in (1, 2):
+        est, esr = load_audio(str(tmp_path / "out" / f"mix_spk{s}.wav"))
+        assert esr == sr
+        assert est.shape == (1, t)
+        assert np.all(np.isfinite(est))
+
+
 def test_speech_separator_waveform(sep_and_params, rng):
     model, params = sep_and_params
     pipe = SpeechSeparator(model, params, n_fft=64, hop_length=32)

@@ -83,6 +83,43 @@ def test_speech_training_mr_l1_fixed_order(corpus, tmp_path):
     assert int(state.step) >= 4
 
 
+def test_evaluate_speech_cli_end_to_end(corpus, tmp_path):
+    """Train briefly, then drive the evaluate-speech CLI on the trainer's
+    orbax output: PIT-resolved SI-SNR/SDR/STOI per utterance + results.json."""
+    import json
+
+    import yaml
+
+    from mss_tf_locoformer_tpu.cli.evaluate_speech import main
+    from mss_tf_locoformer_tpu.train.speech import SpeechTrainer
+
+    import dataclasses
+    cfg = _config(corpus, tmp_path / "exp3")
+    cfg = dataclasses.replace(cfg, training=dataclasses.replace(
+        cfg.training, num_epochs=1))
+    SpeechTrainer(cfg, verbose=False).fit()
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "task": "speech_separation",
+        "dataset": {"root_dir": str(corpus / "tr"),
+                    "valid_dir": str(corpus / "cv"),
+                    "num_spk": 2, "sample_rate": 8000},
+        "stft": {"n_fft": 64, "hop_length": 32},
+        "separator": {"num_spk": 2, "n_layers": 1, "emb_dim": 16,
+                      "num_groups": 4, "n_heads": 2, "attention_dim": 16,
+                      "ffn_type": "swiglu_conv1d", "ffn_hidden_dim": 32},
+    }))
+    main(["--config", str(cfg_path),
+          "--checkpoint", str(tmp_path / "exp3" / "checkpoints" / "best"),
+          "--output_dir", str(tmp_path / "eval"), "--max_utts", "2"])
+    with open(tmp_path / "eval" / "results.json") as f:
+        res = json.load(f)
+    assert len(res["per_utterance"]) == 2
+    assert all(np.isfinite(v) for v in res["mean"].values())
+    assert 0.0 <= res["mean"]["stoi"] <= 1.0
+
+
 def test_speech_yaml_configs_load():
     for name in ("speech_wsj0_2mix", "speech_whamr", "speech_whamr_nope",
                  "speech_dns"):
