@@ -46,11 +46,18 @@ class SeparationEngine:
         batch_size: chunks per forward (static).
         sharding: optional ``NamedSharding`` to shard the chunk batch over a
             device mesh (chunk-parallel inference).
+        max_in_flight: batches dispatched ahead of the host-side fetch.
+            jit calls are async, so keeping a bounded queue of un-fetched
+            device results overlaps the D2H stem transfers (and the next
+            H2D chunk upload) with device compute — on a remote-tunnel
+            device the blocking per-batch fetch is a large fraction of
+            end-to-end latency.  1 = fully synchronous (old behavior);
+            each queued batch holds ~n_stems x B x W floats of HBM.
     """
 
     def __init__(self, apply_fn: Callable, chunk_samples: int,
                  overlap: Optional[int] = None, batch_size: int = 4,
-                 sharding=None):
+                 sharding=None, max_in_flight: int = 2):
         self.chunk = int(chunk_samples)
         self.overlap = int(overlap) if overlap is not None else self.chunk // 4
         if not 0 <= self.overlap < self.chunk:
@@ -58,6 +65,7 @@ class SeparationEngine:
         self.hop = self.chunk - self.overlap
         self.batch_size = int(batch_size)
         self.sharding = sharding
+        self.max_in_flight = max(1, int(max_in_flight))
         self._apply = jax.jit(apply_fn)
         self._window = triangular_window(self.chunk, self.overlap)
 
@@ -94,14 +102,27 @@ class SeparationEngine:
             chunks = np.concatenate(
                 [chunks, np.zeros((pad_chunks, self.chunk), np.float32)])
 
+        # Bounded-depth async pipeline: dispatch up to ``max_in_flight``
+        # jit calls before forcing the oldest batch's D2H fetch, so stem
+        # downloads / chunk uploads ride under device compute instead of
+        # serializing after it.
         stem_chunks: Dict[str, list] = {}
+        in_flight: list = []
+
+        def _drain_one():
+            out = in_flight.pop(0)
+            for k, v in out.items():
+                stem_chunks.setdefault(k, []).append(np.asarray(v))
+
         for b in range(n_batches):
             block = chunks[b * self.batch_size:(b + 1) * self.batch_size]
             if self.sharding is not None:
                 block = jax.device_put(block, self.sharding)
-            out = self._forward(block)
-            for k, v in out.items():
-                stem_chunks.setdefault(k, []).append(np.asarray(v))
+            in_flight.append(self._forward(block))
+            if len(in_flight) >= self.max_in_flight:
+                _drain_one()
+        while in_flight:
+            _drain_one()
 
         window = self._window
         envelope = np.zeros(total, dtype=np.float64)

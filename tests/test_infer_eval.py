@@ -31,6 +31,22 @@ def test_ola_identity_model(rng):
     np.testing.assert_allclose(out, x, atol=1e-5)
 
 
+def test_ola_pipelined_matches_synchronous(rng):
+    """The bounded async-dispatch pipeline (max_in_flight > 1) must be a
+    pure latency optimization: outputs identical to the synchronous engine
+    for a multi-batch track, including the zero-padded final batch."""
+    def apply_fn(mixture):
+        return {"vocals": mixture * 0.5, "drums": -mixture}
+
+    x = rng.standard_normal(9973).astype(np.float32)
+    kw = dict(chunk_samples=1000, overlap=200, batch_size=2)
+    sync = SeparationEngine(apply_fn, max_in_flight=1, **kw)(x)
+    piped = SeparationEngine(apply_fn, max_in_flight=3, **kw)(x)
+    assert sorted(sync) == sorted(piped)
+    for k in sync:
+        np.testing.assert_array_equal(sync[k], piped[k])
+
+
 def test_ola_short_input(rng):
     def apply_fn(mixture):
         return {"vocals": mixture * 2.0}
