@@ -70,7 +70,15 @@ def main():
     audio_sec = batch * seconds * iters
     rtf = audio_sec / elapsed
 
-    train_line = _bench_train_step(cfg, mixture[:2], samples)
+    # MFU: analytic model FLOPs (matmuls/convs/FFT only — utils/flops.py)
+    # over the chip's peak bf16 FLOP/s; None off-TPU where peak is unknown
+    from mss_tf_locoformer_tpu.utils.flops import (device_peak_flops,
+                                                   tflocoformer_forward_flops)
+    peak = device_peak_flops()
+    fwd_flops = tflocoformer_forward_flops(cfg, batch, samples)
+    fwd_mfu = (fwd_flops * iters / elapsed / peak) if peak else None
+
+    train_line = _bench_train_step(cfg, mixture[:2], samples, peak)
     if train_line:
         # secondary metric on STDERR: stdout carries exactly the ONE
         # canonical JSON line the driver parses
@@ -81,10 +89,11 @@ def main():
         "value": round(rtf, 3),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / 1.5, 3),
+        "mfu": round(fwd_mfu, 4) if fwd_mfu is not None else None,
     }))
 
 
-def _bench_train_step(model_cfg, mixture, samples):
+def _bench_train_step(model_cfg, mixture, samples, peak=None):
     """Secondary metric: full optimizer step (fwd+bwd+AdamW), base config,
     batch 2, dropout 0.1 — PERFORMANCE.md's training shape.  No remat: the
     fused kernels' custom VJPs stash only sub-step inputs, so micro-batch 2
@@ -125,12 +134,16 @@ def _bench_train_step(model_cfg, mixture, samples):
         for _ in range(iters):
             state, _ = one(state)
         per_step = (time.perf_counter() - t0) / iters
+        from mss_tf_locoformer_tpu.utils.flops import train_step_flops
+        mfu = (train_step_flops(mcfg, 2, samples) / per_step / peak
+               if peak else None)
         # reference-predicted RTX 5090 pace: ~0.44 s per batch-1 chunk
         return json.dumps({
             "metric": "train_step_base_config_b2",
             "value": round(per_step, 4),
             "unit": "sec/step",
             "vs_baseline": round((2.0 / per_step) / (1.0 / 0.44), 3),
+            "mfu": round(mfu, 4) if mfu is not None else None,
         })
     except Exception as e:  # secondary metric must never break the bench
         import sys

@@ -75,9 +75,16 @@ def main(argv=None):
     for i in range(rank, len(ds), world):
         sample = ds[i]
         name = sample.get("track_name", f"track{i}")
-        mixture = np.asarray(sample["mixture"]).mean(axis=0)  # stereo -> mono
-        targets = {k: np.asarray(sample[k]).mean(axis=0)
-                   for k in dcfg.sources if k in sample}
+        if getattr(mcfg, "stereo", False):
+            # stereo BS-Locoformer lane: score true stereo stems
+            def _prep(x):
+                x = np.asarray(x)
+                return np.repeat(x, 2, axis=0) if x.shape[0] == 1 else x[:2]
+        else:
+            def _prep(x):
+                return np.asarray(x).mean(axis=0)  # stereo -> mono
+        mixture = _prep(sample["mixture"])
+        targets = {k: _prep(sample[k]) for k in dcfg.sources if k in sample}
         stems = engine(mixture)
         res = evaluate_source_separation(stems, targets,
                                          metrics=config.evaluation.metrics)
@@ -95,8 +102,9 @@ def main(argv=None):
             tdir = os.path.join(args.output_dir, name)
             os.makedirs(tdir, exist_ok=True)
             for stem, est in stems.items():
+                out = est if est.ndim == 2 else np.stack([est, est])
                 save_audio(os.path.join(tdir, f"{stem}.wav"),
-                           np.stack([est, est]), dcfg.sample_rate)
+                           out, dcfg.sample_rate)
 
     if world > 1:
         # shared-filesystem gather (the same contract orbax checkpointing

@@ -70,7 +70,8 @@ class SeparationEngine:
         self._window = triangular_window(self.chunk, self.overlap)
 
     def __call__(self, audio: np.ndarray) -> Dict[str, np.ndarray]:
-        """audio ``[T]`` (mono) -> dict of stems ``[T]``."""
+        """audio ``[T]`` (mono) or ``[C, T]`` (stereo models) -> dict of
+        stems with matching layout."""
         # trace/execute under THIS engine's mesh gating (or single-device
         # gating when unsharded) — the module-global gate may reflect some
         # other component's mesh (parallel/mesh.py:activate_mesh)
@@ -80,27 +81,32 @@ class SeparationEngine:
 
     def _separate(self, audio: np.ndarray) -> Dict[str, np.ndarray]:
         audio = np.asarray(audio, dtype=np.float32)
-        if audio.ndim != 1:
-            raise ValueError(f"expected mono [T], got {audio.shape}")
-        t = audio.shape[0]
+        if audio.ndim not in (1, 2):
+            raise ValueError(f"expected [T] or [C, T], got {audio.shape}")
+        t = audio.shape[-1]
+        lead = audio.shape[:-1]  # () mono, (C,) multichannel
+
+        def pad_tail(x, n):
+            return np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n)])
 
         if t <= self.chunk:
-            padded = np.pad(audio, (0, self.chunk - t))
+            padded = pad_tail(audio, self.chunk - t)
             out = self._forward(padded[None])
-            return {k: np.asarray(v)[0, :t] for k, v in out.items()}
+            return {k: np.asarray(v)[0, ..., :t] for k, v in out.items()}
 
         n_chunks = 1 + math.ceil((t - self.chunk) / self.hop)
         total = (n_chunks - 1) * self.hop + self.chunk
-        padded = np.pad(audio, (0, total - t))
+        padded = pad_tail(audio, total - t)
         starts = np.arange(n_chunks) * self.hop
-        chunks = np.stack([padded[s:s + self.chunk] for s in starts])  # [N, W]
+        chunks = np.stack([padded[..., s:s + self.chunk]
+                           for s in starts])  # [N, (C,) W]
 
         # batch to the static batch size (pad with zero chunks)
         n_batches = -(-n_chunks // self.batch_size)
         pad_chunks = n_batches * self.batch_size - n_chunks
         if pad_chunks:
             chunks = np.concatenate(
-                [chunks, np.zeros((pad_chunks, self.chunk), np.float32)])
+                [chunks, np.zeros((pad_chunks, *lead, self.chunk), np.float32)])
 
         # Bounded-depth async pipeline: dispatch up to ``max_in_flight``
         # jit calls before forcing the oldest batch's D2H fetch, so stem
@@ -130,11 +136,12 @@ class SeparationEngine:
             envelope[s:s + self.chunk] += window
         results: Dict[str, np.ndarray] = {}
         for k, blocks in stem_chunks.items():
-            flat = np.concatenate(blocks)[:n_chunks]  # [N, W]
-            acc = np.zeros(total, dtype=np.float64)
+            flat = np.concatenate(blocks)[:n_chunks]  # [N, (C,) W]
+            acc = np.zeros((*flat.shape[1:-1], total), dtype=np.float64)
             for i, s in enumerate(starts):
-                acc[s:s + self.chunk] += flat[i] * window
-            results[k] = (acc / np.maximum(envelope, 1e-8)).astype(np.float32)[:t]
+                acc[..., s:s + self.chunk] += flat[i] * window
+            results[k] = ((acc / np.maximum(envelope, 1e-8))
+                          .astype(np.float32)[..., :t])
         return results
 
     def _forward(self, block: np.ndarray):

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..core.config import Config, ModelConfig, load_config
 from ..core.precision import BF16, FP32, Precision
+from ..models import build_model
 from ..models.mss_tflocoformer import TFLocoformerMSS
 from ..utils.audio import load_audio, save_audio
 from .overlap_add import SeparationEngine
@@ -46,14 +47,17 @@ def load_model(checkpoint_path: str, config_path: Optional[str] = None,
         cfg = load_config(config_path).model
     else:
         cfg = ModelConfig()
-    model = TFLocoformerMSS(cfg, precision=precision)
+    model = build_model(cfg, precision=precision)
 
     if checkpoint_path.endswith((".pth", ".pt", ".ckpt")):
         from ..convert.torch_ckpt import convert_state_dict, load_torch_checkpoint
         params = convert_state_dict(load_torch_checkpoint(checkpoint_path))
     elif os.path.isdir(checkpoint_path):
         import orbax.checkpoint as ocp
-        dummy = np.zeros((1, cfg.n_fft * 2), dtype=np.float32)
+        if getattr(cfg, "stereo", False):
+            dummy = np.zeros((1, 2, cfg.n_fft * 2), dtype=np.float32)
+        else:
+            dummy = np.zeros((1, cfg.n_fft * 2), dtype=np.float32)
         template = jax.eval_shape(
             lambda: model.init(jax.random.PRNGKey(0), dummy))
         ckptr = ocp.StandardCheckpointer()
@@ -130,17 +134,24 @@ def separate_audio(
     sharding=None,
 ) -> Dict[str, np.ndarray]:
     audio, sr = load_audio(input_path, sample_rate=sample_rate)
-    mono = audio.mean(axis=0)  # stereo -> mono mean (reference :136-139)
+    if getattr(model.config, "stereo", False):
+        # stereo BS-Locoformer lane: the model sees both channels jointly
+        if audio.shape[0] == 1:
+            audio = np.repeat(audio, 2, axis=0)
+        inp = audio[:2]  # [2, T]
+    else:
+        inp = audio.mean(axis=0)  # stereo -> mono mean (reference :136-139)
 
     engine = make_engine(model, params, chunk_seconds, overlap_seconds,
                          sample_rate, batch_size, sharding)
-    stems = engine(mono)
+    stems = engine(inp)
 
     if save_stems:
         os.makedirs(output_dir, exist_ok=True)
         base = os.path.splitext(os.path.basename(input_path))[0]
         for name, est in stems.items():
-            stereo = np.stack([est, est])  # mono -> fake stereo (reference :158-162)
+            if est.ndim == 1:  # mono -> fake stereo (reference :158-162)
+                est = np.stack([est, est])
             save_audio(os.path.join(output_dir, f"{base}_{name}.wav"),
-                       stereo, sample_rate, normalize=True)
+                       est, sample_rate, normalize=True)
     return stems

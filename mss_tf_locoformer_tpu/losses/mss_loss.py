@@ -28,7 +28,13 @@ __all__ = ["si_sdr_loss", "spectral_loss", "multi_resolution_stft_loss",
 
 
 def _flatten(x: jnp.ndarray) -> jnp.ndarray:
-    return x.reshape(x.shape[0], -1) if x.ndim > 2 else x
+    """Fold any leading channel axes into the batch: ``[B, C, T] -> [B*C, T]``.
+
+    The reference's loss stack only ever sees mono ``[B, T]`` (its trainer
+    channel-means first); the stereo BS-Locoformer lane feeds ``[B, 2, T]``,
+    scored per channel (a concat-flatten would run the spectral STFT across
+    the channel seam)."""
+    return x.reshape(-1, x.shape[-1]) if x.ndim > 2 else x
 
 
 def si_sdr(estimate: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:

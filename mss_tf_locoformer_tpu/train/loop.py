@@ -30,7 +30,7 @@ from ..core.config import Config
 from ..core.precision import precision_from_amp
 from ..data.loader import DataLoader
 from ..data.musdb import MUSDBDataset
-from ..models.mss_tflocoformer import TFLocoformerMSS
+from ..models import build_model
 from ..parallel import mesh as M
 from ..parallel import multihost as MH
 from ..utils.common import AverageMeter, count_parameters, format_time, set_seed
@@ -48,6 +48,18 @@ def _mono(x: np.ndarray) -> np.ndarray:
     """[B, C, T] -> [B, T] channel mean (reference ``training/train.py:102-107``)."""
     if x.ndim == 3:
         return x.mean(axis=1)
+    return x
+
+
+def _stereo(x: np.ndarray) -> np.ndarray:
+    """[B, (C,) T] -> [B, 2, T] (stereo BS-Locoformer input; mono tracks are
+    duplicated, matching the reference's mono->fake-stereo convention)."""
+    if x.ndim == 2:
+        x = x[:, None]
+    if x.shape[1] == 1:
+        x = np.repeat(x, 2, axis=1)
+    if x.shape[1] != 2:
+        raise ValueError(f"stereo model expects <=2 channels, got {x.shape}")
     return x
 
 
@@ -74,7 +86,10 @@ class Trainer:
         if config.training.gradient_checkpointing and not model_cfg.remat_blocks:
             import dataclasses
             model_cfg = dataclasses.replace(model_cfg, remat_blocks=True)
-        self.model = TFLocoformerMSS(model_cfg, precision=self.precision)
+        self.model = build_model(model_cfg, precision=self.precision)
+        # stereo BS-Locoformer keeps both channels; everything else follows
+        # the reference's stereo->mono channel mean (training/train.py:102-107)
+        self._prep = _stereo if getattr(model_cfg, "stereo", False) else _mono
 
         tcfg = config.training
         self.tx = make_optimizer(tcfg)
@@ -165,13 +180,14 @@ class Trainer:
     # -------------------------------------------------------------- epochs
 
     def _host_batches(self, loader):
-        """Host-side prep: stereo->mono channel mean (numpy, cheap) so each
-        batch is device_put exactly once with the dp sharding — no
-        device->host round trip in the hot loop."""
+        """Host-side prep: channel layout (mono mean, or kept-stereo for the
+        BS stereo lane) fixed in numpy (cheap) so each batch is device_put
+        exactly once with the dp sharding — no device->host round trip in
+        the hot loop."""
         sources = self.config.dataset.sources
         for batch in iter(loader):
-            yield {"mixture": _mono(np.asarray(batch["mixture"])),
-                   **{k: _mono(np.asarray(batch[k]))
+            yield {"mixture": self._prep(np.asarray(batch["mixture"])),
+                   **{k: self._prep(np.asarray(batch[k]))
                       for k in sources if k in batch}}
 
     def train_epoch(self, state, loader, epoch: int, rng):
@@ -222,9 +238,16 @@ class Trainer:
             buf_tgt.clear()
             buf_w.clear()
 
+        def _tail_pad(x, valid):
+            # zero-pad the LAST (time) axis to seg; works for [T] and [2, T]
+            if valid == seg:
+                return x
+            pad = [(0, 0)] * (x.ndim - 1) + [(0, seg - valid)]
+            return np.pad(x, pad)
+
         for batch in iter(loader):
-            mixture = _mono(np.asarray(batch["mixture"]))
-            targets = {k: _mono(np.asarray(batch[k]))
+            mixture = self._prep(np.asarray(batch["mixture"]))
+            targets = {k: self._prep(np.asarray(batch[k]))
                        for k in self.config.dataset.sources if k in batch}
             t = mixture.shape[-1]
             # ceil: the final partial chunk is zero-padded, not dropped —
@@ -234,13 +257,11 @@ class Trainer:
             for b in range(mixture.shape[0]):
                 for c in range(n_chunks):
                     sl = slice(c * seg, (c + 1) * seg)
-                    mix_c = mixture[b, sl]
-                    valid = mix_c.shape[0]
-                    if valid < seg:  # ragged tail (or track < one chunk)
-                        mix_c = np.pad(mix_c, (0, seg - valid))
-                    buf_mix.append(mix_c)
-                    buf_tgt.append({k: np.pad(v[b, sl],
-                                              (0, seg - v[b, sl].shape[0]))
+                    mix_c = mixture[b][..., sl]
+                    valid = mix_c.shape[-1]
+                    buf_mix.append(_tail_pad(mix_c, valid))
+                    buf_tgt.append({k: _tail_pad(v[b][..., sl],
+                                                 v[b][..., sl].shape[-1])
                                     for k, v in targets.items()})
                     buf_w.append(valid / seg)
                     if len(buf_mix) == group:
@@ -277,7 +298,7 @@ class Trainer:
                                     num_workers=min(2, tcfg.num_workers))
 
         first = next(iter(train_loader))
-        example = _mono(np.asarray(first["mixture"]))[:1]
+        example = self._prep(np.asarray(first["mixture"]))[:1]
         state = self.init_model(example)
 
         if self._resume_from:
