@@ -214,13 +214,31 @@ class Trainer:
         non-overlapping segments and scored in fixed-size groups, so at most
         two XLA programs (full group + one ragged tail group) serve the whole
         set regardless of track lengths — memory-bounded, no per-track-length
-        recompiles (the reference validates full tracks, its OOM hazard)."""
+        recompiles (the reference validates full tracks, its OOM hazard).
+
+        Pods: val tracks are round-robin SHARDED over processes (tails
+        included — every chunk scores on this process's local devices only,
+        so unequal shard sizes cannot desynchronize a collective) and ONE
+        allgather merges the (sum, weight) meters; every process computes
+        the identical global weighted mean, so plateau / early-stop / best
+        decisions stay bit-identical while per-process validation wall-clock
+        drops ~process_count-fold (round-3 validation was fully replicated).
+        """
         tcfg = self.config.training
         seg = (tcfg.val_segment_length or self.config.dataset.segment_length
                or 10 * self.config.dataset.sample_rate)
         group = max(1, tcfg.val_batch_size)
         meter = AverageMeter()
         buf_mix, buf_tgt, buf_w = [], [], []
+        rank, world = MH.process_index(), self.n_proc
+        params = state.params
+        if world > 1:
+            # local-device eval: materialize the (fully replicated) global
+            # params on this host — a jit over global arrays would be a
+            # collective program every process must enter in lockstep,
+            # which unequal track shards cannot guarantee
+            params = jax.device_get(state.params)
+        self._val_steps = 0  # eval-step programs this process ran (tests)
 
         def flush():
             if not buf_mix:
@@ -231,9 +249,10 @@ class Trainer:
             # per-chunk weighting happens INSIDE the eval step (weighted
             # mean of per-sample losses) — a batch-mean rescaled on the
             # host would give a mostly-padding tail a full 1/group share
-            ld = self.eval_step(state.params, mixture, targets,
+            ld = self.eval_step(params, mixture, targets,
                                 weights=np.asarray(buf_w, np.float32))
             meter.update(float(ld["total_loss"]), sum(buf_w))
+            self._val_steps += 1
             buf_mix.clear()
             buf_tgt.clear()
             buf_w.clear()
@@ -245,7 +264,9 @@ class Trainer:
             pad = [(0, 0)] * (x.ndim - 1) + [(0, seg - valid)]
             return np.pad(x, pad)
 
-        for batch in iter(loader):
+        for ti, batch in enumerate(iter(loader)):
+            if world > 1 and ti % world != rank:
+                continue  # another process's shard (val loader is bs=1)
             mixture = self._prep(np.asarray(batch["mixture"]))
             targets = {k: self._prep(np.asarray(batch[k]))
                        for k in self.config.dataset.sources if k in batch}
@@ -267,6 +288,12 @@ class Trainer:
                     if len(buf_mix) == group:
                         flush()
         flush()  # ragged tail group (one extra program shape at most)
+        if world > 1:
+            from jax.experimental import multihost_utils
+            merged = np.asarray(multihost_utils.process_allgather(
+                np.array([meter.sum, meter.count], np.float64)))
+            total, weight = merged.sum(axis=0)
+            return float(total / max(weight, 1e-12))
         return meter.avg
 
     # ---------------------------------------------------------------- main
@@ -284,9 +311,8 @@ class Trainer:
             train_ds, val_ds = self._datasets()
             # multihost: each process loads its 1/n_proc share of the global
             # batch from its own round-robin shard of the track list (the
-            # DDP-sampler analogue); validation stays replicated — every
-            # process scores the identical full val set, so the plateau /
-            # early-stop decisions agree without any extra collective
+            # DDP-sampler analogue); validation is SHARDED too — see
+            # _validate (one allgather keeps decisions bit-identical)
             train_loader = DataLoader(
                 train_ds, batch_size=MH.local_batch_size(tcfg.batch_size),
                 shuffle=True, num_workers=tcfg.num_workers,

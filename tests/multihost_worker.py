@@ -184,6 +184,38 @@ def mode_fit_speech(jax, pid, tmpdir):
         json.dump({"best_val": trainer.best_val, "step": int(state.step)}, f)
 
 
+def mode_validate(jax, pid, tmpdir):
+    """Sharded pod validation: each process scores only its round-robin
+    shard of the val tracks (locally), one allgather merges the meters."""
+    import numpy as np
+    from mss_tf_locoformer_tpu.core.config import (Config, DatasetConfig,
+                                                   LossConfig, MeshConfig,
+                                                   PathsConfig,
+                                                   TrainingConfig)
+    from mss_tf_locoformer_tpu.data.loader import DataLoader
+    from mss_tf_locoformer_tpu.train.loop import Trainer
+
+    sr = 8000
+    cfg = Config(
+        dataset=DatasetConfig(root_dir=os.path.join(tmpdir, "musdb"),
+                              sample_rate=sr, segment_length=sr // 2,
+                              sources=("vocals", "drums", "bass", "other")),
+        model=_tiny_model_cfg(),
+        loss=LossConfig(loss_type="si_sdr"),
+        training=TrainingConfig(batch_size=4, num_workers=0,
+                                val_batch_size=2, use_amp=False),
+        paths=PathsConfig(output_dir=os.path.join(tmpdir, "exp_val")),
+        mesh=MeshConfig(dp=4, mp=1), seed=0)
+    trainer = Trainer(cfg, verbose=False)
+    assert trainer.n_proc == 2
+    _, val_ds = trainer._datasets()
+    loader = DataLoader(val_ds, batch_size=1)
+    state = trainer.init_model(np.zeros((1, sr // 2), np.float32))
+    val = trainer.validate(state, loader)
+    with open(os.path.join(tmpdir, f"out_{pid}.json"), "w") as f:
+        json.dump({"val": val, "val_steps": trainer._val_steps}, f)
+
+
 def mode_evaluate(jax, pid, tmpdir):
     from mss_tf_locoformer_tpu.cli import evaluate as E
 
@@ -210,6 +242,8 @@ def main():
         mode_fit_speech(jax, pid, tmpdir)
     elif mode == "evaluate":
         mode_evaluate(jax, pid, tmpdir)
+    elif mode == "validate":
+        mode_validate(jax, pid, tmpdir)
     else:
         raise SystemExit(f"unknown mode {mode}")
     print(f"worker {pid} mode {mode}: OK", flush=True)

@@ -292,3 +292,68 @@ def test_multiprocess_trainer_fit_and_resume(tmp_path, rng):
     assert res[0]["best_val_resumed"] <= res[0]["best_val"] + 1e-9
     ckpts = os.listdir(tmp_path / "exp" / "checkpoints")
     assert any(c.isdigit() for c in ckpts) and "best" in ckpts
+
+
+@pytest.mark.slow
+def test_multiprocess_sharded_validation(tmp_path, rng):
+    """Pod validation is SHARDED, not replicated (round-3 weakness): 3 val
+    tracks round-robin over 2 processes, each scoring only its shard on
+    local devices, one allgather merging the (sum, weight) meters.  Both
+    processes must report the IDENTICAL merged val loss (bit-equal
+    decisions), it must match a single-process full validation, and no
+    process may run more than ~half the eval steps."""
+    from mss_tf_locoformer_tpu.data import audio_io
+
+    sr = 8000
+    stems = ("vocals", "drums", "bass", "other")
+    for subset, tracks in (("train", 2), ("test", 3)):
+        for t in range(tracks):
+            d = tmp_path / "musdb" / subset / f"track{t}"
+            d.mkdir(parents=True)
+            xs = {s: (0.1 * rng.standard_normal((sr, 2))).astype(np.float32)
+                  for s in stems}
+            for s, x in xs.items():
+                audio_io.write(str(d / f"{s}.wav"), x, sr, bits=16)
+            audio_io.write(str(d / "mixture.wav"), sum(xs.values()), sr,
+                           bits=16)
+
+    res = _spawn_workers("validate", tmp_path)
+    # bit-identical merged loss on every process (same allgather result)
+    assert res[0]["val"] == res[1]["val"]
+    assert np.isfinite(res[0]["val"])
+    # sharded: 3 tracks x 2 chunks = 6 chunks -> 3 single-process flushes
+    # at group 2; no process may have scored the full set
+    total_steps = res[0]["val_steps"] + res[1]["val_steps"]
+    assert total_steps == 3, (res[0], res[1])
+    assert max(res[0]["val_steps"], res[1]["val_steps"]) == 2
+
+    # single-process reference on the identical tracks and init
+    import jax
+    from mss_tf_locoformer_tpu.core.config import (Config, DatasetConfig,
+                                                   LossConfig, PathsConfig,
+                                                   TrainingConfig)
+    from mss_tf_locoformer_tpu.data.loader import DataLoader
+    from mss_tf_locoformer_tpu.train.loop import Trainer
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    try:
+        from multihost_worker import _tiny_model_cfg
+    finally:
+        sys.path.pop(0)
+    cfg = Config(
+        dataset=DatasetConfig(root_dir=str(tmp_path / "musdb"),
+                              sample_rate=sr, segment_length=sr // 2,
+                              sources=stems),
+        model=_tiny_model_cfg(),
+        loss=LossConfig(loss_type="si_sdr"),
+        training=TrainingConfig(batch_size=4, num_workers=0,
+                                val_batch_size=2, use_amp=False),
+        paths=PathsConfig(output_dir=str(tmp_path / "exp_ref")),
+        seed=0)
+    trainer = Trainer(cfg, verbose=False)
+    _, val_ds = trainer._datasets()
+    loader = DataLoader(val_ds, batch_size=1)
+    state = trainer.init_model(np.zeros((1, sr // 2), np.float32))
+    want = trainer.validate(state, loader)
+    assert trainer._val_steps == 3
+    assert res[0]["val"] == pytest.approx(want, rel=1e-6)

@@ -9,11 +9,14 @@ CPU coverage notes:
 
 * the wrappers are FULLY manual over both mesh axes everywhere (the TPU
   lowering rejects partial-auto around Mosaic custom calls; see the
-  AbstractMesh lowering test in ``test_hardware_smoke.py``).  A
-  fully-manual 8-device (dp=4, mp=2) CPU mesh DEADLOCKS interpret mode's
-  ``io_callback`` path, so these tests pin ``dp=1``; dp semantics are
-  covered by ``tests/test_parallel.py`` and the TPU-target lowering runs
-  dp=2 meshes.
+  AbstractMesh lowering test in ``test_hardware_smoke.py``).  dp x mp
+  EXECUTION (not just lowering) is covered at dp=2 x mp=2 — a 4-device
+  fully-manual interpret mesh runs forward AND backward on this host.
+  An 8-device (dp=4, mp=2) fully-manual interpret mesh still never
+  finishes on this 1-core box (>380 s vs 50 s at 4 devices; interpret
+  mode serializes every shard's io_callback chain through the single
+  XLA CPU thread, and the per-step psum rendezvous multiplies the
+  serialized chains), so 8-device coverage stays lowering-only.
 * the in-kernel dropout sites draw from the TPU PRNG, which yields zeros
   under interpret mode; dropout variants are TPU-only (matching
   ``test_attention_block.py``).
@@ -53,6 +56,12 @@ def _mp_mesh(mp):
     if len(jax.devices()) < mp:
         pytest.skip(f"needs {mp} devices")
     return M.make_mesh(jax.devices()[:mp], dp=1, mp=mp)
+
+
+def _dp_mp_mesh(dp, mp):
+    if len(jax.devices()) < dp * mp:
+        pytest.skip(f"needs {dp * mp} devices")
+    return M.make_mesh(jax.devices()[:dp * mp], dp=dp, mp=mp)
 
 
 def _attn_args(rng, r=2, l=64, c=16, a=16):
@@ -171,6 +180,62 @@ def test_tp_ffn_grad_parity(rng):
         scale = max(np.abs(np.asarray(w)).max(), 1.0)
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    atol=2e-4 * scale, rtol=2e-3)
+
+
+# ----------------------------------------------- dp x mp EXECUTION (not
+# lowering): rows split over dp AND heads/channels over mp on a 4-device
+# fully-manual mesh, forward + all cotangents, vs the single-device oracle.
+
+@pytest.mark.slow
+def test_tp_attention_dp2_mp2_executes(rng):
+    mesh = _dp_mp_mesh(2, 2)
+    args = _attn_args(rng, r=4)  # 2 rows per dp shard
+    cot = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
+
+    def f_tp(*a):
+        return jnp.vdot(tp_attention_step(*a, 2, 4, 1e-5, True, 10000.0,
+                                          0.0, None, mesh), cot)
+
+    def f_ref(*a):
+        return jnp.vdot(AB.reference_attention_block(
+            *a, 2, 4, 1e-5, True, 10000.0, residual=False), cot)
+
+    with _ctx():
+        out = np.asarray(tp_attention_step(
+            *args, 2, 4, 1e-5, True, 10000.0, 0.0, None, mesh))
+        got = jax.grad(f_tp, argnums=(0, 1, 2, 3))(*args)
+    want_out = np.asarray(AB.reference_attention_block(
+        *args, 2, 4, 1e-5, True, 10000.0, residual=False))
+    scale = max(np.abs(want_out).max(), 1.0)
+    np.testing.assert_allclose(out, want_out, atol=2e-4 * scale, rtol=2e-3)
+    want = jax.grad(f_ref, argnums=(0, 1, 2, 3))(*args)
+    for g, w in zip(got, want):
+        s = max(np.abs(np.asarray(w)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4 * s, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_tp_ffn_dp2_mp2_executes(rng):
+    mesh = _dp_mp_mesh(2, 2)
+    args = _ffn_args(rng, r=4)
+    cot = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
+    db0 = jnp.zeros((args[0].shape[-1],), jnp.float32)
+
+    def f_tp(*a):
+        return jnp.vdot(tp_ffn_step(*a, 4, 4, 1e-5, 0.0, None, mesh), cot)
+
+    def f_ref(*a):
+        return jnp.vdot(SB.reference_norm_ffn_residual(
+            *a, db0, 4, 4, 1e-5, residual=False), cot)
+
+    with _ctx():
+        got = jax.grad(f_tp, argnums=(0, 1, 2, 3, 4))(*args)
+    want = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for g, w in zip(got, want):
+        s = max(np.abs(np.asarray(w)).max(), 1.0)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=2e-4 * s, rtol=2e-3)
 
 
 # ------------------------------------------------------------ gates / specs
