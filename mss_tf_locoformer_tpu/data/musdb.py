@@ -444,7 +444,7 @@ class MUSDBDataset:
         if mixture is not None:
             expected = mixture.shape[-1]
             mp3_prob = cfg.get("mp3_prob", 0.0)
-            compressor = _mp3_compressor(cfg) if mp3_prob > 0 else None
+            compressor = _mp3_compressor(cfg, r) if mp3_prob > 0 else None
             if compressor is not None and r.random() < mp3_prob:
                 out = compressor(samples=mixture.astype(np.float32),
                                  sample_rate=self.sample_rate)
@@ -476,13 +476,29 @@ class MUSDBDataset:
         return sample, mix_only
 
 
-def _mp3_compressor(cfg):
+def _mp3_compressor(cfg, r=None):
+    """Real MP3 round trip when audiomentations/lameenc is installed (the
+    reference's path, ``data/mss_dataset.py:532-544``); otherwise the native
+    MDCT-domain codec simulation (``data/codec.py`` — quantization noise +
+    bitrate lowpass, the artifact classes the augmentation exists for).
+    ``r`` (the dataset's seeded RNG) keeps the simulated bitrate draw and
+    dither reproducible, like the noise augmentation."""
+    lo, hi = cfg.get("mp3_bitrate", (96, 192))
     try:
         import audiomentations as AU
+        return AU.Mp3Compression(min_bitrate=int(lo), max_bitrate=int(hi),
+                                 p=1.0)
     except ImportError:
-        return None
-    lo, hi = cfg.get("mp3_bitrate", (96, 192))
-    return AU.Mp3Compression(min_bitrate=int(lo), max_bitrate=int(hi), p=1.0)
+        pass
+    from .codec import mp3_like_compression
+
+    def simulate(samples, sample_rate):
+        draw = np.random.default_rng(
+            r.getrandbits(64) if r is not None else None)
+        bitrate = float(draw.uniform(lo, hi))
+        return mp3_like_compression(samples, sample_rate, bitrate, rng=draw)
+
+    return simulate
 
 
 class SimpleAudioDataset:
