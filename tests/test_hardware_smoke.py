@@ -161,3 +161,47 @@ def test_tp_fused_wrappers_lower_for_tpu_target():
         lowered = jax.jit(lambda *a: tp_fused.tp_ffn_step(
             *a, K, 4, 1e-5, 0.0, None, mesh)).lower(x, gamma, cw, cb, dw)
         assert "tpu_custom_call" in lowered.as_text()
+
+
+def test_bslocoformer_mss_lane_on_tpu(rng):
+    """BS-Locoformer end-to-end lane on the chip: audio->stems forward,
+    one optimizer step, and chunked-OLA serving (stereo masking mode —
+    the shipped ``configs/musdb18_bslocoformer.yaml`` modes at small dims)."""
+    from mss_tf_locoformer_tpu.core.config import (BSModelConfig, Config,
+                                                   LossConfig)
+    from mss_tf_locoformer_tpu.core.precision import BF16
+    from mss_tf_locoformer_tpu.infer.separate import make_engine
+    from mss_tf_locoformer_tpu.models import build_model
+    from mss_tf_locoformer_tpu.train.state import init_state, make_optimizer
+    from mss_tf_locoformer_tpu.train.step import make_train_step
+
+    mcfg = BSModelConfig(name="bslocoformer", n_fft=512, hop_length=256,
+                         stft_size=512, sample_rate=44100, n_sources=4,
+                         n_layers=1, emb_dim=32, num_groups=4, n_heads=2,
+                         attention_dim=32, ffn_type="swiglu_conv1d",
+                         ffn_hidden_dim=64, masking=True, stereo=True)
+    model = build_model(mcfg, precision=BF16)
+    track = (0.1 * rng.standard_normal((2, SR * 2))).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), track[None])
+    out = model.apply(params, track[None])
+    assert out["vocals"].shape == (1, 2, SR * 2)
+    assert np.isfinite(float(jnp.sum(jnp.abs(out["vocals"]))))
+
+    cfg = Config(model=mcfg, loss=LossConfig(loss_type="si_sdr"))
+    tx = make_optimizer(cfg.training)
+    state = init_state(params, tx)
+    step = make_train_step(model, cfg, tx)
+    mix = jnp.asarray((0.1 * rng.standard_normal((2, 2, SR)))
+                      .astype(np.float32))
+    stems = {k: jnp.asarray((0.05 * rng.standard_normal((2, 2, SR)))
+                            .astype(np.float32)) for k in STEMS}
+    state, ld = step(state, mix, stems, 1e-4, jax.random.PRNGKey(3))
+    loss0 = float(ld["total_loss"])
+    state, ld = step(state, mix, stems, 1e-4, jax.random.PRNGKey(4))
+    assert np.isfinite(loss0) and float(ld["total_loss"]) < loss0
+
+    engine = make_engine(model, state.params, chunk_seconds=1.0,
+                         overlap_seconds=0.25, sample_rate=SR, batch_size=2)
+    sep = engine(track)
+    assert sep["vocals"].shape == track.shape
+    assert all(np.all(np.isfinite(v)) for v in sep.values())
