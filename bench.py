@@ -44,12 +44,15 @@ def main():
 
     rng = np.random.default_rng(0)
     mixture = rng.standard_normal((batch, samples)).astype(np.float32) * 0.1
-    params = model.init(jax.random.PRNGKey(0), mixture[:1])
+    # params as a jit ARGUMENT, not a closure constant: captured trees are
+    # embedded into the lowered program, which exceeds remote-compile
+    # request limits at larger configs (tools/bench_lanes.py)
+    params = jax.device_put(model.init(jax.random.PRNGKey(0), mixture[:1]))
     mixture = jax.device_put(mixture)
+    apply_jit = jax.jit(model.apply)
 
-    @jax.jit
     def forward(mixture):
-        return model.apply(params, mixture)
+        return apply_jit(params, mixture)
 
     # warmup / compile; sync via a scalar fetch (block_until_ready alone has
     # been observed to return early over remote-device tunnels)

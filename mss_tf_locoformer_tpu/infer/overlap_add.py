@@ -53,11 +53,19 @@ class SeparationEngine:
             device the blocking per-batch fetch is a large fraction of
             end-to-end latency.  1 = fully synchronous (old behavior);
             each queued batch holds ~n_stems x B x W floats of HBM.
+        params: optional param tree.  When given, ``apply_fn`` must take
+            ``(params, mixture)`` and the tree is passed as a jit ARGUMENT
+            on every call.  A closure-captured param tree is embedded into
+            the lowered program as constants — at xlarge scale (~25 M
+            params, ~100 MB) that serialized program exceeds remote-compile
+            request limits (measured: HTTP 413 over the axon tunnel) and
+            bloats the compile cache; argument-passed params keep the
+            program weight-free.
     """
 
     def __init__(self, apply_fn: Callable, chunk_samples: int,
                  overlap: Optional[int] = None, batch_size: int = 4,
-                 sharding=None, max_in_flight: int = 2):
+                 sharding=None, max_in_flight: int = 2, params=None):
         self.chunk = int(chunk_samples)
         self.overlap = int(overlap) if overlap is not None else self.chunk // 4
         if not 0 <= self.overlap < self.chunk:
@@ -66,6 +74,7 @@ class SeparationEngine:
         self.batch_size = int(batch_size)
         self.sharding = sharding
         self.max_in_flight = max(1, int(max_in_flight))
+        self._params = params
         self._apply = jax.jit(apply_fn)
         self._window = triangular_window(self.chunk, self.overlap)
 
@@ -145,4 +154,6 @@ class SeparationEngine:
         return results
 
     def _forward(self, block: np.ndarray):
+        if self._params is not None:
+            return self._apply(self._params, block)
         return self._apply(block)

@@ -112,13 +112,14 @@ def load_speech_separator(checkpoint_path: str, cfg):
 def make_engine(model: TFLocoformerMSS, params, chunk_seconds: float = 8.0,
                 overlap_seconds: float = 1.0, sample_rate: int = 44100,
                 batch_size: int = 2, sharding=None) -> SeparationEngine:
-    def apply_fn(mixture):
-        return model.apply(params, mixture)
+    # params ride as a jit ARGUMENT (not a closure constant): captured trees
+    # are embedded into the lowered program — at xlarge scale the serialized
+    # program exceeds remote-compile request limits (SeparationEngine docs).
     return SeparationEngine(
-        apply_fn,
+        model.apply,
         chunk_samples=int(chunk_seconds * sample_rate),
         overlap=int(overlap_seconds * sample_rate),
-        batch_size=batch_size, sharding=sharding)
+        batch_size=batch_size, sharding=sharding, params=params)
 
 
 def separate_audio(

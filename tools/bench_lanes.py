@@ -26,6 +26,7 @@ DEFAULT_LANES = [
     ("base", "configs/musdb18.yaml", 4, 2),
     ("bslocoformer", "configs/musdb18_bslocoformer.yaml", 4, 2),
     ("medium", "configs/musdb18_medium.yaml", 2, 2),
+    ("lowmem", "configs/musdb18_lowmem.yaml", 4, 1),
     ("xlarge", "configs/musdb18_xlarge.yaml", 1, 1),
 ]
 
@@ -71,16 +72,19 @@ def measure_lane(name, cfg_path, infer_batch, train_micro):
     mixture = (0.1 * rng.standard_normal(shape)).astype(np.float32)
     model = build_model(mcfg, precision=BF16)
     try:
-        params = model.init(jax.random.PRNGKey(0), mixture[:1])
-        fwd = jax.jit(lambda m: model.apply(params, m))
+        params = jax.device_put(model.init(jax.random.PRNGKey(0), mixture[:1]))
+        # params as a jit ARGUMENT: a closure-captured tree is embedded as
+        # program constants and the xlarge (~25 M param) serialized program
+        # exceeds the remote-compile request limit (HTTP 413)
+        fwd = jax.jit(model.apply)
         dev_mix = jax.device_put(mixture)
-        _sync(fwd(dev_mix))  # compile
+        _sync(fwd(params, dev_mix))  # compile
         reps = []
         for _ in range(3):
             t0 = time.perf_counter()
             out = None
             for _ in range(8):
-                out = fwd(dev_mix)
+                out = fwd(params, dev_mix)
             _sync(out)
             reps.append((time.perf_counter() - t0) / 8)
         fwd_s = min(reps)
