@@ -160,6 +160,15 @@ class SwiGLUConvDeconv1d(nn.Module):
         seq_len = _pad_len(s2, k, shift)
         x = jnp.pad(x, ((0, 0), (diff_ks, seq_len - s2 - diff_ks), (0, 0)))
 
+        if fused_ok and not swiglu_ffn.supports_shape(
+                seq_len, h, self.dim_inner, k,
+                jnp.dtype(self.dtype).itemsize):
+            # e.g. the xlarge freq path: gated out of the block step, and
+            # the plain kernel's VMEM-resident [Lp, Ip] intermediates do
+            # not fit either -> XLA convs (swiglu_ffn.supports_shape)
+            from ..ops.pallas import warn_fallback
+            warn_fallback("swiglu_ffn.shape")
+            fused_ok = False
         if fused_ok:
             seed = None
             if drop_rate > 0.0:  # in-kernel dropout replay (fwd + bwd)

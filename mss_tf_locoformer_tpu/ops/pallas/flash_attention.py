@@ -69,10 +69,20 @@ def _pick_group(lp: int, dp: int, blk_q: int, itemsize: int) -> int:
     """Rows per program: fill VMEM with q/k/v/o rows next to the fp32 score
     blocks, amortizing per-program dispatch cost.  Pallas double-buffers
     every grid block (x2), and the softmax keeps ~3 score-sized fp32
-    temporaries (s, p, and the exp scratch) live."""
+    temporaries (s, p, and the exp scratch) live.
+
+    The kernel body is a PYTHON loop — Mosaic sees group * (lp // blk_q)
+    unrolled iterations.  153 instances (xlarge freq: L=2049 -> group 9 x
+    17 q-blocks) crash or spin the remote Mosaic compiler (and a spinning
+    compile wedges the device tunnel ~30 min); every known-good compile is
+    <= 64 bodies (base time path: group 60 x 1).  Cap the PRODUCT at 64:
+    more grid programs (~5 us dispatch each), bounded compiler input.
+    Probed on-chip: 51 bodies (group 3 x 17) compile in 156 s and run."""
     score_bytes = 3 * lp * blk_q * 4
     per_row = 2 * 4 * dp * lp * itemsize  # q, k, v, o, double-buffered
     g = max(1, (_VMEM_TARGET - score_bytes) // per_row)
+    n_qb = max(1, lp // blk_q)
+    g = min(g, max(1, 64 // n_qb))
     return int(min(g, 64))
 
 

@@ -59,6 +59,37 @@ def supports(kernel: int, shift: int) -> bool:
     return shift == 1 and 1 < kernel <= 8
 
 
+def supports_shape(l_in: int, c: int, inner: int, k: int,
+                   itemsize: int = 2) -> bool:
+    """Shape admission for the PLAIN fused FFN kernel: whether even the
+    minimum group=1 program fits scoped VMEM.  (The fully fused block-step
+    kernels have their own calibrated gates — ``swiglu_block.supports_step``;
+    this one exists because the xlarge freq path, gated OUT of the block
+    step, fell through to this kernel whose [Lp, Ip] fp32 intermediates
+    alone exceed the 16 MiB limit: lp 2080 x inner 1024 compiled to a
+    23.03 MiB scoped allocation and failed cleanly.)
+
+    Ceilings are in MODEL bytes: the byte model here is ~2x Mosaic's
+    compiled footprint (measured: xlarge freq modeled 49 MiB -> compiled
+    23.03 MiB; base freq modeled 10.4 MiB compiles well under the limit),
+    so 24 MiB model ~= 11-12 MiB compiled — comfortable margin under the
+    16 MiB limit.  Shipped shapes sit far from the boundary on both sides
+    (medium-freq-class ~12 MiB vs xlarge-freq 49 MiB fwd / 93 MiB bwd).
+    The gate requires BOTH directions to fit: the kernel's custom VJP
+    compiles the backward whenever training differentiates through it."""
+    cp = _round_up(c, LANE)
+    ip = _round_up(inner, LANE)
+    lp = _round_up(l_in, SUBLANE) + SUBLANE
+    fwd = (2 * 2 * lp * cp * itemsize            # x + z, double-buffered
+           + 3 * lp * ip * 4                     # yvg, gate (fp32)
+           + lp * k * cp * (itemsize + 4)        # xs_cat + zc
+           + 3 * k * cp * ip * itemsize)         # weight panels
+    bwd = (2 * 3 * lp * cp * itemsize
+           + 6 * lp * ip * 4 + lp * k * cp * (2 * itemsize + 4)
+           + 3 * k * cp * ip * itemsize + 3 * k * cp * ip * 4)
+    return fwd <= 24 * 1024 * 1024 and bwd <= 32 * 1024 * 1024
+
+
 def _pick_group(lp: int, cp: int, ip: int, k: int,
                 itemsize: int = 2) -> int:
     """Rows per program under the VMEM budget (inputs/outputs double-

@@ -116,6 +116,53 @@ def test_warn_fallback_fires_once(caplog):
     assert "unit_test_kernel" in P.fallback_names()
 
 
+# -------------------------------------- VMEM shape gates (xlarge lane, r4)
+
+def test_plain_ffn_shape_gate():
+    """The plain fused FFN kernel must reject shapes whose VMEM-resident
+    [Lp, Ip] intermediates cannot fit even at group=1 (the xlarge freq
+    path compiled to a 23 MiB scoped allocation on-chip) and admit every
+    shipped training shape that is known to compile."""
+    from mss_tf_locoformer_tpu.ops.pallas import swiglu_ffn as F
+
+    # shipped shapes that compile on v5e (base/medium freq+time, xl time)
+    assert F.supports_shape(1025, 96, 384, 4)      # base freq
+    assert F.supports_shape(259, 96, 384, 4)       # base time (3 s)
+    assert F.supports_shape(1025, 128, 512, 4)     # medium freq
+    assert F.supports_shape(130, 256, 1024, 4)     # xlarge time (3 s)
+    # the xlarge freq path: 23.03 MiB compiled at group=1 -> reject
+    assert not F.supports_shape(2049, 256, 1024, 4)
+
+
+def test_plain_ffn_gate_falls_back_to_xla(monkeypatch, rng):
+    """At a rejected shape the module must take the XLA conv path (and
+    record the observable fallback) instead of attempting a pallas_call
+    that cannot fit VMEM."""
+    from mss_tf_locoformer_tpu.nn.ffn import SwiGLUConvDeconv1d
+
+    monkeypatch.setattr(P, "on_tpu", lambda: True)  # simulate a real chip
+    mod = SwiGLUConvDeconv1d(dim=256, dim_inner=1024, conv1d_kernel=4,
+                             conv1d_shift=1, dropout=0.0, use_fused=True)
+    x = jnp.asarray(rng.standard_normal((1, 1, 2049, 256)), jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), x, deterministic=True)
+    y = mod.apply(params, x, deterministic=True)  # XLA path runs on CPU
+    assert y.shape == x.shape
+    assert "swiglu_ffn.shape" in P.fallback_names()
+
+
+def test_flash_unroll_cap():
+    """Mosaic sees group * n_qblocks unrolled kernel bodies; >64 crashed or
+    wedged the compiler at the xlarge freq shape (153 bodies).  The group
+    picker must cap the product at 64 for every plausible geometry."""
+    from mss_tf_locoformer_tpu.ops.pallas.flash_attention import _pick_group
+
+    for lp in (256, 1032, 2056, 4104):
+        for blk_q in (128, 256):
+            for dp in (32, 128):
+                g = _pick_group(lp, dp, blk_q, 2)
+                assert 1 <= g * max(1, lp // blk_q) <= 64, (lp, blk_q, dp, g)
+
+
 # ----------------------------------------------- exact-segment TP rules
 
 def test_tp_rules_deconv_bias_replicated():
