@@ -19,11 +19,15 @@ LANES.  Heads are packed 32-sublane-aligned (D=24 pads to 32), so per-head
 q/k/v are aligned sublane slices of one ``[H*32, Lp]`` matmul output and
 the QKV / out projections run at full 128-depth MXU utilization.
 
-Backward: a second Pallas kernel recomputes norm+QKV+attention in VMEM (no
-stash), replays the dropout mask from the absolute-row-seeded counter PRNG,
-back-rotates the q/k cotangents in-kernel (RoPE is orthogonal: R(-theta)),
-and accumulates all weight/gamma grads across the sequential grid.  A
-reference-recompute fallback covers drop-free shapes the kernel rejects.
+Backward: a second Pallas kernel recomputes norm+QKV+scores in VMEM but
+takes the softmax statistics (per-q-column shift + reciprocal of the
+undropped numerator sum, [2H, Lp] fp32 per row — tiny) from the training
+forward's stash, so its probability recompute is one exp + one broadcast
+multiply (no norm-bound or colsum passes); it replays the dropout mask
+from the absolute-row-seeded counter PRNG, back-rotates the q/k cotangents
+in-kernel (RoPE is orthogonal: R(-theta)), and accumulates all
+weight/gamma grads across the sequential grid.  A reference-recompute
+fallback covers drop-free shapes the kernel rejects.
 """
 
 from __future__ import annotations
@@ -57,6 +61,17 @@ _PROB_SEED_OFFSET = 0x85EB_CA6B - (1 << 32)  # decorrelates the prob site
 _PROB_TILE_STRIDE = 0x9E3779B9  # golden-ratio mix of (head, q-subtile)
 
 
+def _prob_thr(rate: float) -> int:
+    """Unsigned-int32 keep threshold: the raw PRNG word reinterpreted as
+    uint32 is uniform over [0, 2^32), so ``P(w < t) = t / 2^32`` — one
+    compare, no 31-bit masking pass (the round-3 scheme's ``bitwise_and``
+    cost a full VPU pass over every mask element).  Unsigned (not signed)
+    keeps the interpret-mode convention the CPU suite pins: all-zero
+    interpret PRNG words are a KEEP at every rate < 1 (a signed compare
+    flips zero to a drop at rate >= 0.5)."""
+    return min(int(round((1.0 - rate) * (1 << 32))), (1 << 32) - 1)
+
+
 def _prob_keep(seed_ref, group: int, gi: int, lp: int, h: int, qt: int,
                rate: float):
     """``[Lp, 128]`` keep mask for the attention-PROBABILITY dropout site
@@ -70,28 +85,30 @@ def _prob_keep(seed_ref, group: int, gi: int, lp: int, h: int, qt: int,
         & 0xFFFFFFFF
     mix = mix - (1 << 32) if mix >= (1 << 31) else mix
     pltpu.prng_seed(seed_ref[0] + jnp.int32(mix), row_idx)
-    bits = jax.lax.bitwise_and(
-        pltpu.prng_random_bits((lp, 128)).astype(jnp.int32),
-        jnp.int32(0x7FFFFFFF))
-    return bits < jnp.int32(int((1.0 - rate) * (1 << 31)))
+    bits = pltpu.prng_random_bits((lp, 128))
+    bits = jax.lax.bitcast_convert_type(bits, jnp.uint32)
+    return bits < jnp.uint32(_prob_thr(rate))
 
 
 def _prob_keeps(seed_ref, group: int, gi: int, lp: int, h: int, qb: int,
                 blk_q: int, rate: float):
-    """Keep-mask subtiles for one ``[Lp, BLK]`` block (list of [Lp, 128])."""
+    """Full-width ``[Lp, BLK]`` keep mask for one block, assembled from the
+    absolute 128-lane subtiles (ONE bool concat; the fp32 slicing +
+    per-subtile where of the round-3 scheme moved 4x the bytes)."""
     nq = blk_q // 128
-    return [_prob_keep(seed_ref, group, gi, lp, h, qb * nq + tq, rate)
+    subs = [_prob_keep(seed_ref, group, gi, lp, h, qb * nq + tq, rate)
             for tq in range(nq)]
+    return subs[0] if nq == 1 else jnp.concatenate(subs, axis=1)
 
 
-def _apply_keeps(p, keeps, rate: float):
-    """Apply precomputed keep subtiles to the ``[Lp, BLK]`` numerator
-    block (survivors scaled by 1/keep; the denominator stays the UNDROPPED
-    softmax sum, matching torch's drop-after-normalize semantics)."""
-    ikp = 1.0 / (1.0 - rate)
-    subs = [jnp.where(keep, p[:, tq * 128:(tq + 1) * 128] * ikp, 0.0)
-            for tq, keep in enumerate(keeps)]
-    return subs[0] if len(subs) == 1 else jnp.concatenate(subs, axis=1)
+def _apply_keeps(p, keep, rate: float):
+    """Mask the ``[Lp, BLK]`` block WITHOUT the survivor 1/keep scale: the
+    scale is constant, so every consumer folds it into a cheaper site —
+    the forward divides it into the [1, BLK] softmax denominator, the
+    backward scales the [dp, Lp] dq/dk/dv accumulators once per head
+    (drop-after-normalize semantics preserved; the denominator is still
+    the UNDROPPED softmax sum, as in torch)."""
+    return jnp.where(keep, p, 0.0)
 
 
 def _drop_probs(p, seed_ref, group: int, gi: int, h: int, qb: int,
@@ -198,9 +215,13 @@ def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                  dp: int, dpg: int, eps: float, l_actual: int, blk_q: int,
                  group: int, rope: bool, drop_rate: float, stash: bool,
                  residual: bool = True):
-    """``out_refs`` is ``(o_ref,)`` or ``(o_ref, ostash_ref)`` — training
-    stashes the packed head outputs ``[Hp, Lp]`` so the backward's dwo
-    needs no ``V @ Pd`` recompute (one of its six score-class matmuls).
+    """``out_refs`` is ``(o_ref,)`` or ``(o_ref, ostash_ref, stats_ref)`` —
+    training stashes the packed head outputs ``[Hp, Lp]`` (the backward's
+    dwo needs no ``V @ Pd`` recompute — one of its six score-class matmuls)
+    and the per-head softmax stats ``[2H->sp, Lp]`` fp32 (shift rows then
+    reciprocal-of-undropped-sum rows, per q-column), so the backward skips
+    the bounded-shift norms AND its denominator colsum pass (round 5:
+    freq-path fwd+bwd 49.9 -> 41.7 ms at drop 0.1).
 
     ``residual=False`` (the tensor-parallel mode, ``parallel/tp_fused.py``)
     emits the bare projected output: the kernel's result is one mp-shard's
@@ -223,11 +244,12 @@ def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
         v_all = jax.lax.dot(wv_ref[...], xn, preferred_element_type=jnp.float32).astype(dt)
 
         o_heads = []
+        shift_rows, recip_rows = [], []   # stashed softmax stats [1, Lp]
         for h in range(n_heads):
             sl = slice(h * dp, (h + 1) * dp)
             q_t0, k_t0, v_t = q_all[sl], k_all[sl], v_all[sl]  # [dp, Lp]
             k_t = _rope_t(k_t0, cos_ref[:], sin_ref[:], dp) if rope else k_t0
-            o_blocks = []
+            o_blocks, s_blocks, r_blocks = [], [], []
             for qb in range(lp // blk_q):
                 qsl = slice(qb * blk_q, (qb + 1) * blk_q)
                 q_t = _rope_t(q_t0[:, qsl], cos_ref[:, qsl], sin_ref[:, qsl],
@@ -241,20 +263,41 @@ def _attn_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref, wo_ref,
                 shift = _bounded_shift(q_t0[:, qsl], k_t0,
                                        lb=_diag_lb(q_t, k_t, qsl))
                 p = _softmax_num(s, shift)
-                denom = jnp.sum(p, axis=0, keepdims=True)
+                # reciprocal of the UNDROPPED numerator sum: the forward
+                # multiplies by it (mul beats div), the backward reuses it
+                # via the stats stash and skips its own colsum pass
+                recip = 1.0 / jnp.maximum(
+                    jnp.sum(p, axis=0, keepdims=True), 1e-30)  # [1, BLK]
+                if stash:
+                    s_blocks.append(shift)
+                    r_blocks.append(recip)
                 if drop_rate > 0.0:  # reference's in-SDPA probability site
                     p = _drop_probs(p, seed_ref, group, gi, h, qb, blk_q,
                                     drop_rate)
+                    # survivor 1/keep scale folded into the divisor
+                    recip = recip * (1.0 / (1.0 - drop_rate))
                 acc = jax.lax.dot_general(
                     v_t, p.astype(v_t.dtype), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # [dp, BLK]
-                o_blocks.append(acc / jnp.maximum(denom, 1e-30))
+                o_blocks.append(acc * recip)
             o_heads.append(o_blocks[0] if len(o_blocks) == 1
                            else jnp.concatenate(o_blocks, axis=1))
+            if stash:
+                shift_rows.append(s_blocks[0] if len(s_blocks) == 1
+                                  else jnp.concatenate(s_blocks, axis=1))
+                recip_rows.append(r_blocks[0] if len(r_blocks) == 1
+                                  else jnp.concatenate(r_blocks, axis=1))
         o_all = (o_heads[0] if n_heads == 1
                  else jnp.concatenate(o_heads, axis=0)).astype(dt)  # [Hp, Lp]
         if stash:
             out_refs[1][gi] = o_all
+            stats = jnp.concatenate(shift_rows + recip_rows, axis=0)
+            sp = out_refs[2].shape[1]          # [group, sp, Lp] fp32
+            if sp > 2 * n_heads:
+                stats = jnp.concatenate(
+                    [stats, jnp.zeros((sp - 2 * n_heads, lp), jnp.float32)],
+                    axis=0)
+            out_refs[2][gi] = stats
 
         out = jax.lax.dot(wo_ref[...], o_all,
                           preferred_element_type=jnp.float32)  # [Cp, Lp]
@@ -353,7 +396,8 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
     _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
     lp = _round_up(x.shape[1], LANE)
     itemsize = jnp.dtype(x.dtype).itemsize
-    stash_row = 2 * hp * lp * itemsize if return_o else 0
+    sp = _round_up(2 * n_heads, 8)     # stats sublanes: H shifts + H recips
+    stash_row = (2 * hp * lp * itemsize + 2 * sp * lp * 4) if return_o else 0
     if drop_rate > 0.0:
         # probability dropout keeps a third [Lp, BLK]-class buffer (the
         # masked numerator) live: 2/3 budget bounds 3 buffers by the same
@@ -375,11 +419,14 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
                                memory_space=pltpu.VMEM)
     row_hp = lambda: pl.BlockSpec((group, hp, lp), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
+    row_sp = lambda: pl.BlockSpec((group, sp, lp), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
-    out_specs = (row(), row_hp()) if return_o else row()
+    out_specs = (row(), row_hp(), row_sp()) if return_o else row()
     out_shape = ((jax.ShapeDtypeStruct((rp, cp, lp), dt),
-                  jax.ShapeDtypeStruct((rp, hp, lp), dt))
+                  jax.ShapeDtypeStruct((rp, hp, lp), dt),
+                  jax.ShapeDtypeStruct((rp, sp, lp), jnp.float32))
                  if return_o else jax.ShapeDtypeStruct((rp, cp, lp), dt))
     out = pl.pallas_call(
         functools.partial(_attn_kernel, n_heads=n_heads, dp=geo["dp"],
@@ -398,14 +445,16 @@ def _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
     )(geo["x_t"], geo["gp"], geo["bd"], geo["wq"], geo["wk"], geo["wv"],
       geo["wo"], geo["cos"], geo["sin"], _seed_arr(seed))
     if return_o:
-        out, o_stash = out
-        return (jnp.swapaxes(out[:r, :c, :seq_len], -1, -2), o_stash[:r])
+        out, o_stash, stats = out
+        return (jnp.swapaxes(out[:r, :c, :seq_len], -1, -2), o_stash[:r],
+                stats[:r])
     return jnp.swapaxes(out[:r, :c, :seq_len], -1, -2)
 
 
 def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                      wo_ref, cos_ref, sin_ref, seed_ref, g_ref, ostash_ref,
-                     dx_ref, dgamma_ref, dwq_ref, dwk_ref, dwv_ref, dwo_ref,
+                     stats_ref, dx_ref, dgamma_ref, dwq_ref, dwk_ref,
+                     dwv_ref, dwo_ref,
                      *, n_heads: int, dp: int, dpg: int, eps: float,
                      l_actual: int, blk_q: int, group: int, rope: bool,
                      drop_rate: float, residual: bool = True):
@@ -465,14 +514,23 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                 if masked:
                     rowi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     s = jnp.where(rowi < l_actual, s, -1e30)
-                shift = _bounded_shift(q_t0[:, qsl], k_t0,     # same as fwd
-                                       lb=_diag_lb(q_t, k_t, qsl))
-                p = _softmax_num(s, shift)
-                p = p / jnp.maximum(jnp.sum(p, axis=0, keepdims=True), 1e-30)
+                # softmax stats come from the forward's stash — the shift
+                # and the reciprocal of the undropped numerator sum are
+                # functions of (row, head, q-column) only, so the backward
+                # skips _bounded_shift/_diag_lb AND its colsum pass and
+                # normalizes with one broadcast multiply
+                shift = stats_ref[gi, h:h + 1, qsl]            # [1, BLK]
+                recip = stats_ref[gi, n_heads + h:n_heads + h + 1, qsl]
+                p = _softmax_num(s, shift) * recip
                 if drop_rate > 0.0:
                     # replay the forward's probability mask ONCE: Pd feeds
-                    # the o recompute and dv; the P cotangent gets the same
-                    # mask applied to V^T dO (drop-after-normalize)
+                    # dv; the P cotangent gets the same mask applied to
+                    # V^T dO (drop-after-normalize).  Masks are applied
+                    # WITHOUT the 1/keep survivor scale — it is constant,
+                    # so it factors linearly through ds and the dv sum and
+                    # is applied once per head to the [dp, Lp] accumulators
+                    # after the q-block loop (saves two full [Lp, BLK]
+                    # multiply passes per block; tools/dropout_prng_probe.py)
                     keeps = _prob_keeps(seed_ref, group, gi, lp, h, qb,
                                         blk_q, drop_rate)
                     pd = _apply_keeps(p, keeps, drop_rate)
@@ -482,9 +540,12 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                 dp_ = jax.lax.dot_general(
                     v_t, do_t, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)        # [Lp, BLK]
-                if drop_rate > 0.0:
-                    dp_ = _apply_keeps(dp_, keeps, drop_rate)
-                ds = p * (dp_ - jnp.sum(p * dp_, axis=0, keepdims=True))
+                # ds = p o (M o dP) - p o colsum(p o (M o dP)); the mask is
+                # idempotent and elementwise, so p o (M o dP) = Pd o dP and
+                # the second mask application (plus one multiply pass)
+                # disappears — t is computed ONCE and reused for both terms
+                t = pd * dp_
+                ds = t - p * jnp.sum(t, axis=0, keepdims=True)
                 ds_c = ds.astype(dt)
                 dq_blocks.append(jax.lax.dot_general(
                     k_t, ds_c, (((1,), (0,)), ((), ())),
@@ -497,6 +558,15 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
                     preferred_element_type=jnp.float32)
             dq_rot = (dq_blocks[0] if len(dq_blocks) == 1
                       else jnp.concatenate(dq_blocks, axis=1))
+            if drop_rate > 0.0:
+                # deferred survivor 1/keep scale (see the mask comment
+                # above): ds and pd were masked unscaled, so dq/dk/dv all
+                # carry a constant (1-rate) factor — undo it ONCE on the
+                # narrow [dp, *] head accumulators
+                ikp = 1.0 / (1.0 - drop_rate)
+                dq_rot = dq_rot * ikp
+                dk_acc = dk_acc * ikp
+                dv_acc = dv_acc * ikp
             if rope:  # back-rotate cotangents: R is orthogonal, R^-1=R(-th)
                 dq_rot = _rope_t(dq_rot, cos_ref[:], -sin_ref[:], dp)
                 dk_acc = _rope_t(dk_acc, cos_ref[:], -sin_ref[:], dp)
@@ -554,12 +624,13 @@ def _attn_bwd_kernel(x_ref, gamma_ref, bd_ref, wq_ref, wk_ref, wv_ref,
 
 
 def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
-                          rope, theta, drop_rate, seed, g, o_stash,
+                          rope, theta, drop_rate, seed, g, o_stash, stats,
                           residual=True):
     _, cp, _, hp = _dims(x.shape[-1], w_qkv.shape[0] // 3, n_heads)
     lp = _round_up(x.shape[1], LANE)
     itemsize = jnp.dtype(x.dtype).itemsize
-    stash_row = 2 * hp * lp * itemsize
+    sp = stats.shape[1]
+    stash_row = 2 * hp * lp * itemsize + 2 * sp * lp * 4
     if drop_rate > 0.0:
         # the probability masks decompose into ABSOLUTE 128-lane subtiles
         # (see _prob_keep), so any 128-multiple q-block width replays the
@@ -584,11 +655,14 @@ def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
     g_t = jnp.pad(jnp.swapaxes(g.astype(dt), -1, -2),
                   ((0, rp - r), (0, cp - c), (0, lp - seq_len)))
     o_t = jnp.pad(o_stash, ((0, rp - r), (0, 0), (0, 0)))  # [rp, hp, lp]
+    st_t = jnp.pad(stats, ((0, rp - r), (0, 0), (0, 0)))   # [rp, sp, lp]
 
     f32 = jnp.float32
     row = lambda: pl.BlockSpec((group, cp, lp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     row_hp = lambda: pl.BlockSpec((group, hp, lp), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    row_sp = lambda: pl.BlockSpec((group, sp, lp), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
@@ -602,7 +676,8 @@ def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
         in_specs=[row(), const((cp, 1)), const((cp, cp)),
                   const((hp, cp)), const((hp, cp)), const((hp, cp)),
                   const((cp, hp)), const((dp, lp)), const((dp, lp)),
-                  pl.BlockSpec(memory_space=pltpu.SMEM), row(), row_hp()],
+                  pl.BlockSpec(memory_space=pltpu.SMEM), row(), row_hp(),
+                  row_sp()],
         out_specs=(row(), const((cp, 1)), const((hp, cp)), const((hp, cp)),
                    const((hp, cp)), const((cp, hp))),
         out_shape=(
@@ -614,7 +689,7 @@ def _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads, num_groups, eps,
             jax.ShapeDtypeStruct((cp, hp), f32),
         ),
     )(geo["x_t"], geo["gp"], geo["bd"], geo["wq"], geo["wk"], geo["wv"],
-      geo["wo"], geo["cos"], geo["sin"], _seed_arr(seed), g_t, o_t)
+      geo["wo"], geo["cos"], geo["sin"], _seed_arr(seed), g_t, o_t, st_t)
     dx_t, dgm, dwq, dwk, dwv, dwo = outs
 
     dx = jnp.swapaxes(dx_t[:r, :c, :seq_len], -1, -2).astype(x.dtype)
@@ -662,19 +737,20 @@ def reference_attention_block(x, gamma, w_qkv, w_out, n_heads, num_groups,
 
 def _attn_fwd(x, gamma, w_qkv, w_out, n_heads, num_groups, eps, rope, theta,
               drop_rate, seed=None, residual=True):
-    out, o_stash = _attn_forward(x, gamma, w_qkv, w_out, n_heads, num_groups,
-                                 eps, rope, theta, drop_rate, seed,
-                                 return_o=True, residual=residual)
-    return out, (x, gamma, w_qkv, w_out, seed, o_stash)
+    out, o_stash, stats = _attn_forward(x, gamma, w_qkv, w_out, n_heads,
+                                        num_groups, eps, rope, theta,
+                                        drop_rate, seed, return_o=True,
+                                        residual=residual)
+    return out, (x, gamma, w_qkv, w_out, seed, o_stash, stats)
 
 
 def _attn_bwd(n_heads, num_groups, eps, rope, theta, drop_rate, residual,
               res, g):
-    x, gamma, w_qkv, w_out, seed, o_stash = res
+    x, gamma, w_qkv, w_out, seed, o_stash, stats = res
     try:
         grads = _attn_backward_pallas(x, gamma, w_qkv, w_out, n_heads,
                                       num_groups, eps, rope, theta,
-                                      drop_rate, seed, g, o_stash,
+                                      drop_rate, seed, g, o_stash, stats,
                                       residual=residual)
     except Exception as e:
         if drop_rate > 0.0:

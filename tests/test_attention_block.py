@@ -71,10 +71,10 @@ def test_grad_parity_pallas_backward(rng, c, a, h, l, rope):
     args = _args(rng, l=l, c=c, a=a)
     g = jnp.asarray(rng.standard_normal(args[0].shape).astype(np.float32))
     with _ctx():
-        _, o_stash = AB._attn_forward(*args, h, 4, 1e-5, rope, 10000.0,
-                                      return_o=True)
+        _, o_stash, stats = AB._attn_forward(*args, h, 4, 1e-5, rope, 10000.0,
+                                             return_o=True)
         grads = AB._attn_backward_pallas(*args, h, 4, 1e-5, rope, 10000.0,
-                                         0.0, None, g, o_stash)
+                                         0.0, None, g, o_stash, stats)
     _, vjp_r = jax.vjp(
         lambda *a_: AB.reference_attention_block(*a_, h, 4, 1e-5, rope), *args)
     want = vjp_r(g)
