@@ -179,18 +179,66 @@ class SwiGLUConvDeconv1d(nn.Module):
                 x.astype(self.dtype), conv_w, conv_b, deconv_w, deconv_b, k,
                 drop_rate, seed)
         else:
-            y = conv_ops.conv1d(x.astype(self.dtype),
-                                conv_w.astype(self.dtype),
-                                conv_b.astype(self.dtype), stride=shift)
-            gate = nn.silu(y[..., self.dim_inner:])
-            y = y[..., :self.dim_inner] * gate
-            y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-            y = conv_ops.conv_transpose1d(y, deconv_w.astype(self.dtype),
-                                          deconv_b.astype(self.dtype),
-                                          stride=shift)
+            y = self._xla_ffn(x.astype(self.dtype),
+                              conv_w.astype(self.dtype),
+                              conv_b.astype(self.dtype),
+                              deconv_w.astype(self.dtype),
+                              deconv_b.astype(self.dtype),
+                              shift, drop_rate)
         y = y[:, diff_ks:diff_ks + s2, :]
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
         return y.reshape(b, s1, s2, h)
+
+    # widest live intermediate (bytes) above which the XLA fallback chunks
+    # its rows: the unfused conv -> gate -> deconv chain materializes
+    # [rows, L, 2*inner] several times, and at xlarge frame-path training
+    # shapes ([2049, 655, 2048] bf16 = 5.1 GB EACH) the train step asked
+    # for 52 GB of HLO temps on a 15.75 GB chip (tools/xlarge_probe.py)
+    _XLA_CHUNK_BYTES = 512 * 1024 * 1024
+
+    def _xla_ffn(self, x, conv_w, conv_b, deconv_w, deconv_b, shift,
+                 drop_rate):
+        """Unfused conv->SwiGLU->dropout->deconv.  Rows are independent, so
+        when the [rows, L, 2*inner] intermediate exceeds ``_XLA_CHUNK_BYTES``
+        the chain runs as a ``lax.map`` over row chunks under
+        ``jax.checkpoint`` — the forward AND the backward recompute then
+        hold only one chunk's intermediates at a time (this is what makes
+        the xlarge config trainable on a single 16 GB chip at all: the
+        fused Pallas kernels are VMEM-gated out at its shapes).  The inner
+        dropout masks derive from a per-chunk fold_in, so the checkpoint
+        replay regenerates them bit-exactly."""
+        rows, seq_len, _ = x.shape
+        itemsize = jnp.dtype(self.dtype).itemsize
+        inter = rows * seq_len * 2 * self.dim_inner * itemsize
+        key = (self.make_rng("dropout") if drop_rate > 0.0 else None)
+
+        def chain(xc, kc):
+            y = conv_ops.conv1d(xc, conv_w, conv_b, stride=shift)
+            gate = nn.silu(y[..., self.dim_inner:])
+            y = y[..., :self.dim_inner] * gate
+            if drop_rate > 0.0:
+                keep = jax.random.bernoulli(kc, 1.0 - drop_rate, y.shape)
+                y = jnp.where(keep, y / (1.0 - drop_rate), 0.0)
+            return conv_ops.conv_transpose1d(y, deconv_w, deconv_b,
+                                             stride=shift)
+
+        if inter <= self._XLA_CHUNK_BYTES or rows < 8:
+            return chain(x, key)
+
+        rc = max(1, self._XLA_CHUNK_BYTES
+                 // (seq_len * 2 * self.dim_inner * itemsize))
+        nc = -(-rows // rc)
+        xp = jnp.pad(x, ((0, nc * rc - rows), (0, 0), (0, 0)))
+
+        @jax.checkpoint
+        def body(args):
+            xc, i = args
+            kc = jax.random.fold_in(key, i) if drop_rate > 0.0 else None
+            return chain(xc, kc)
+
+        ys = jax.lax.map(body, (xp.reshape(nc, rc, seq_len, -1),
+                                jnp.arange(nc)))
+        return ys.reshape(nc * rc, ys.shape[-2], ys.shape[-1])[:rows]
 
 
 class ConvDeconv1d(nn.Module):

@@ -129,13 +129,16 @@ def _panels(conv_w, conv_b, deconv_w, inner, c, cp, ip, k, dt):
 def _dropout_mask(seed_ref, group: int, gi: int, shape, rate: float):
     """Counter-based keep mask, replayable bit-exact in the backward.  The
     PRNG is re-seeded per (seed, ABSOLUTE row index): forward and backward
-    use different group sizes, so (program_id, gi) alone would not align."""
+    use different group sizes, so (program_id, gi) alone would not align.
+    The keep test is ONE unsigned compare (``P(w < t) = t / 2^32``) — no
+    31-bit masking pass; unsigned keeps interpret-mode all-zero words a
+    KEEP at every rate < 1 (the CPU suite pins that convention)."""
     row_idx = pl.program_id(0) * group + gi
     pltpu.prng_seed(seed_ref[0], row_idx)
-    bits = pltpu.prng_random_bits(shape)
-    bits = jax.lax.bitwise_and(bits.astype(jnp.int32),
-                               jnp.int32(0x7FFFFFFF))
-    return bits < jnp.int32(int((1.0 - rate) * (1 << 31)))
+    bits = jax.lax.bitcast_convert_type(pltpu.prng_random_bits(shape),
+                                        jnp.uint32)
+    thr = min(int(round((1.0 - rate) * (1 << 32))), (1 << 32) - 1)
+    return bits < jnp.uint32(thr)
 
 
 def _xs_cat(x, lp: int, k: int, dt):

@@ -71,6 +71,8 @@ def main():
     from mss_tf_locoformer_tpu.train.step import make_train_step
 
     seg = cfg.dataset.segment_length
+    if os.environ.get("XL_SEG_S"):   # single-chip feasibility probes
+        seg = int(float(os.environ["XL_SEG_S"]) * sr)
     if cfg.training.gradient_checkpointing and not mcfg.remat_blocks:
         mcfg = dataclasses.replace(mcfg, remat_blocks=True)
     model = build_model(mcfg, precision=BF16)
