@@ -87,10 +87,24 @@ def main():
     step = make_train_step(model, train_cfg, tx)
     key = jax.random.PRNGKey(2)
     t0 = time.time()
-    c = jax.jit(step).lower(state, mix, stems, 1e-4, key).compile()
+    jstep = jax.jit(step)
+    c = jstep.lower(state, mix, stems, 1e-4, key).compile()
     print(f"{stage}: OK compile {time.time() - t0:.1f}s "
           f"(flash={mcfg.flash_attention} ffn={mcfg.fused_ffn})", flush=True)
     del c
+    if os.environ.get("XL_RUN"):   # time the step (forced scalar sync)
+        import jax.numpy as jnp
+        state, ld = jstep(state, mix, stems, 1e-4, key)
+        float(ld["total_loss"])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            for _ in range(4):
+                state, ld = jstep(state, mix, stems, 1e-4, key)
+            float(ld["total_loss"])
+            best = min(best, (time.time() - t0) / 4)
+        print(f"{stage}: {best:.3f} s/step (seg {seg / sr:.1f}s, batch 1)",
+              flush=True)
 
 
 if __name__ == "__main__":
