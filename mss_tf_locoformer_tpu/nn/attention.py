@@ -117,6 +117,19 @@ class MultiHeadSelfAttention(nn.Module):
                 self.n_heads, self.prenorm_groups, self.prenorm_eps,
                 self.use_rope, 10000.0, drop, seed)
 
+        # Row-chunking decision for the unfused path: rows ([B] here) are
+        # independent, and at xlarge fallback shapes the fp32 RoPE/score
+        # intermediates (rows x H x L x D fp32, several live in the
+        # backward) are what pushed the 15 s train step to 35.7 GB of HLO
+        # temps (PERFORMANCE.md "The xlarge lane, root-caused").  Training
+        # (non-deterministic) chunks above 512 MB; inference, which holds
+        # no backward temps, only above 2 GB.
+        rope_bytes = b * self.n_heads * l * head_dim * 4
+        ceiling = (self._XLA_CHUNK_BYTES if not deterministic
+                   else 4 * self._XLA_CHUNK_BYTES)
+        if rope_bytes > ceiling and b >= 8:
+            return self._chunked_mhsa(x, b, l, head_dim, deterministic)
+
         qkv = Linear(self.emb_dim, self.attention_dim * 3, use_bias=False,
                      dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, l, 3, self.n_heads, head_dim)
@@ -147,4 +160,62 @@ class MultiHeadSelfAttention(nn.Module):
         out = jnp.swapaxes(out, 1, 2).reshape(b, l, self.attention_dim)
         out = Linear(self.attention_dim, self.emb_dim, use_bias=False,
                      dtype=self.dtype, name="aggregate_heads")(out)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(out)
+
+    _XLA_CHUNK_BYTES = 512 * 1024 * 1024
+
+    def _chunked_mhsa(self, x, b, l, head_dim, deterministic):
+        """The unfused MHSA over row chunks: ``lax.map`` under
+        ``jax.checkpoint`` caps the fp32 RoPE and projection intermediates
+        at one chunk's worth in the forward AND the backward recompute.
+        Registers the same ``qkv/weight`` / ``aggregate_heads/weight``
+        params as the Linear path (checkpoints unaffected); the outer
+        post-projection dropout stays outside (its mask is [rows, L, C] —
+        small next to the per-head temps).  Dropout keys fold_in per chunk
+        so the checkpoint replay is bit-exact."""
+        import jax
+
+        w_qkv = _Weight((self.attention_dim * 3, self.emb_dim),
+                        1.0 / (self.emb_dim ** 0.5), name="qkv")()
+        w_out = _Weight((self.emb_dim, self.attention_dim),
+                        1.0 / (self.attention_dim ** 0.5),
+                        name="aggregate_heads")()
+        drop = 0.0 if deterministic else self.dropout
+        key = self.make_rng("dropout") if drop > 0.0 else None
+        dt = self.dtype
+
+        def chain(xc, kc):
+            rc = xc.shape[0]
+            qkv = xc.astype(dt) @ w_qkv.T.astype(dt)
+            qkv = qkv.reshape(rc, l, 3, self.n_heads, head_dim)
+            qkv = jnp.moveaxis(qkv, (2, 3), (0, 2))
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            drop_kw = (dict(dropout_rate=drop, dropout_key=kc)
+                       if drop > 0.0 else {})
+            backend = "flash" if self.flash_attention else "auto"
+            if self.use_rope and self.flash_attention:
+                out = dot_product_attention(q, k, v, backend=backend,
+                                            fused_rope=True, **drop_kw)
+            else:
+                if self.use_rope:
+                    q = apply_rope(q).astype(dt)
+                    k = apply_rope(k).astype(dt)
+                out = dot_product_attention(q, k, v, backend=backend,
+                                            **drop_kw)
+            out = jnp.swapaxes(out, 1, 2).reshape(rc, l, self.attention_dim)
+            return out @ w_out.T.astype(dt)
+
+        rc = max(1, int(self._XLA_CHUNK_BYTES
+                        // (self.n_heads * l * head_dim * 4)))
+        nc = -(-b // rc)
+        xp = jnp.pad(x, ((0, nc * rc - b), (0, 0), (0, 0)))
+
+        @jax.checkpoint
+        def body(args):
+            xc, i = args
+            kc = jax.random.fold_in(key, i) if drop > 0.0 else None
+            return chain(xc, kc)
+
+        ys = jax.lax.map(body, (xp.reshape(nc, rc, l, -1), jnp.arange(nc)))
+        out = ys.reshape(nc * rc, l, self.emb_dim)[:b]
         return nn.Dropout(self.dropout, deterministic=deterministic)(out)
